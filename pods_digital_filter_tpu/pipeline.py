@@ -1,0 +1,200 @@
+"""End-to-end pipeline: profile -> correlated noise -> Lund coloring ->
+snapshot matrix -> POD -> Fourier compression -> PODFS export.
+
+Mirrors the reference ``main()`` call stack (digitalfilters.py:1134-1513) with
+the TPU-native stages of :mod:`pods_digital_filter_tpu.ops`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pods_digital_filter_tpu.config import PipelineConfig
+from pods_digital_filter_tpu.io import hdf5 as hdf5_io
+from pods_digital_filter_tpu.io import prf as prf_io
+from pods_digital_filter_tpu.io.plane import PlaneGeometry, make_inflow_plane
+from pods_digital_filter_tpu.models import profiles as prof
+from pods_digital_filter_tpu.ops import filters, fourier, lund, pod, rotation
+from pods_digital_filter_tpu.utils.timing import StageTimer
+
+
+@dataclass
+class PipelineResult:
+    config: PipelineConfig
+    dt: float
+    geometry: PlaneGeometry
+    A: np.ndarray                    # (3*Np, Ns) snapshot matrix, mean removed
+    mean_field: np.ndarray           # (3*Np,)
+    pod: pod.PODResult
+    fourier: fourier.FourierResult
+    files: list = field(default_factory=list)
+    timer: Optional[StageTimer] = None
+
+
+def resolve_profile(cfg: PipelineConfig):
+    """Profile construction branch of main() (digitalfilters.py:1295-1310):
+    synthetic tanh profiles, a 1-D column file, or a 2-D ``.prf`` file.
+
+    Returns ``(fields, dt, filt, cfg, rotate)`` where ``fields`` is a
+    :class:`PlaneStressFields`, ``filt`` the (possibly dt-rescaled)
+    FilterConfig and ``rotate`` whether the packed snapshots get rotated into
+    the plane frame (only for synthetic profiles, digitalfilters.py:1476-1477).
+    """
+    import dataclasses
+
+    if cfg.profile_file != "none" and os.path.isfile(cfg.profile_file):
+        if cfg.profile_file.endswith(".prf"):
+            from pods_digital_filter_tpu.models.prf_reader import read_prf
+
+            r = read_prf(
+                cfg.profile_file, cfg.plane.res, cfg.massflow, cfg.density,
+                cfg.bulk_velocity, cfg.non_dim, cfg.test_gradients,
+                outdir=cfg.outdir,
+            )
+            plane = dataclasses.replace(
+                cfg.plane, jma=r.jma, kma=r.kma, normal=r.normal, origin=r.center,
+            )
+            filt = dataclasses.replace(
+                cfg.filt,
+                length_scale_x=r.length_scale, length_scale_y=r.length_scale,
+                length_scale_z=r.length_scale, nfx_override=None,
+            )
+            cfg = dataclasses.replace(cfg, plane=plane, filt=filt)
+            fields = prof.fields_2d_prf(r.U, r.V, r.W, r.uu, r.vv, r.ww,
+                                        r.uv, r.uw, r.vw)
+            dt, filt = cfg.compute_dt(r.U, r.V, r.W)
+            return fields, dt, filt, cfg, False
+        else:
+            from pods_digital_filter_tpu.models.profile_1d import read_profile
+
+            U, uu, vv, ww, uw = read_profile(cfg.profile_file, cfg.plane.kma)
+    else:
+        U, uu, vv, ww, uw = prof.build_profile(
+            cfg.mean_profile, cfg.turb_profile, cfg.bulk_velocity,
+            cfg.turbulence_intensity, cfg.plane.kma,
+        )
+    dt, filt = cfg.compute_dt(np.asarray(U))
+    # clamp negative stresses (digitalfilters.py:1347-1354)
+    uu, vv, ww = prof.clamp_negative_stresses(uu, vv, ww)
+    fields = prof.plane_stress_fields(
+        cfg.mean_profile, U, uu, vv, ww, uw,
+        cfg.plane.jma, cfg.plane.kma, cfg.inner_d,
+    )
+    return fields, dt, filt, cfg, True
+
+
+def _pack_snapshots(colored: jax.Array) -> jax.Array:
+    """(3, Ns, jma, kma) -> (3*jma*kma, Ns) with the reference's row layout
+    ``row = comp*Np + j*kma + k`` (digitalfilters.py:1471-1473)."""
+    c, ns, jma, kma = colored.shape
+    return jnp.transpose(colored, (0, 2, 3, 1)).reshape(c * jma * kma, ns)
+
+
+def generate_snapshot_matrix(
+    cfg: PipelineConfig,
+    fields: prof.PlaneStressFields,
+    filt,
+    t0: int = 0,
+    nsteps: Optional[int] = None,
+    rotate: bool = True,
+) -> jax.Array:
+    """The full generation hot path as one jitted computation:
+    noise -> spatial filter -> temporal FIR -> Lund -> pack -> rotate.
+    """
+    nsteps = cfg.nsteps if nsteps is None else nsteps
+    dtype = jnp.dtype(cfg.dtype)
+    key = jax.random.key(cfg.seed)
+    p = cfg.plane
+
+    stresses = tuple(jnp.asarray(s, dtype=dtype) for s in fields.stresses())
+    means = tuple(jnp.asarray(m, dtype=dtype) for m in fields.means())
+
+    @jax.jit
+    def gen(key):
+        noise = filters.generate_correlated_noise(
+            key, t0, nsteps, p.jma, p.kma,
+            filt.nfx, filt.nfy, filt.nfz,
+            filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
+            num_components=3, dtype=dtype,
+        )  # (3, Ns, jma, kma)
+        # broadcast per-k (kma,) or (jma,kma) stats against (Ns, jma, kma)
+        colored = lund.apply_lund_stacked(noise, stresses, means)
+        A = _pack_snapshots(colored)
+        if rotate:
+            A = rotation.rotate_velocity_packed(A, *p.normal)
+        return A
+
+    return gen(key)
+
+
+def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineResult:
+    timer = StageTimer()
+    files = []
+
+    with timer.stage("profile"):
+        fields, dt, filt, cfg, rotate = resolve_profile(cfg)
+        if cfg.dt == 0.0:
+            print("timestep set to: ", dt, " seconds")
+
+    geom = make_inflow_plane(cfg.plane)
+    outdir = cfg.outdir
+    if write_outputs:
+        os.makedirs(outdir, exist_ok=True)
+
+    with timer.stage("generate"):
+        A = generate_snapshot_matrix(cfg, fields, filt, rotate=rotate)
+        A.block_until_ready()
+
+    if cfg.verbose and write_outputs:
+        with timer.stage("write_snapshots"):
+            A_host = np.asarray(A, dtype=np.float64)
+            for i in range(cfg.nsteps):
+                files.append(prf_io.write_snapshot_prf(
+                    outdir, i * dt, A_host[:, i], geom,
+                    cfg.plane.normal, cfg.plane.origin))
+
+    with timer.stage("pod"):
+        mean_field = jnp.mean(A, axis=1)
+        Ac = A - mean_field[:, None]
+        pr = pod.snapshot_pod(Ac, cfg.podfs.num_modes, cfg.podfs.tol_cn)
+
+    with timer.stage("fourier"):
+        fr = fourier.fourier_compress(
+            pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
+
+    mean_host = np.asarray(mean_field, dtype=np.float64)
+
+    if write_outputs:
+        with timer.stage("export"):
+            files.append(prf_io.write_eigenvalues(outdir, pr.num_valid, pr.energy))
+            files.append(prf_io.write_mean_prf(outdir, mean_host, geom, cfg.plane.normal))
+            files.append(prf_io.write_podfs_dat(outdir, fr))
+            for i in range(pr.num_trunc):
+                files.append(prf_io.write_mode_prf(
+                    outdir, i + 1, pr.spatial_modes[:, i], geom, cfg.plane.normal))
+            if cfg.verbose:
+                files.extend(prf_io.write_temporal_modes(
+                    outdir, pr.num_valid, dt, pr.temporal_modes))
+                try:
+                    from pods_digital_filter_tpu.diagnostics import plots
+
+                    plots.pod_diagnostics(outdir, pr, fr, dt)
+                except Exception as e:  # diagnostics never fail the run
+                    print("diagnostics skipped:", e)
+            if cfg.hdf5:
+                files.append(hdf5_io.write_hdf5(
+                    outdir, pr.num_trunc, fr.period, fr.counts,
+                    fr.packed_fc(), geom.cell_centers, mean_host,
+                    pr.spatial_modes))
+
+    return PipelineResult(
+        config=cfg, dt=dt, geometry=geom,
+        A=np.asarray(Ac), mean_field=mean_host,
+        pod=pr, fourier=fr, files=files, timer=timer,
+    )
