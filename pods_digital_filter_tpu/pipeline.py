@@ -56,6 +56,10 @@ def resolve_profile(cfg: PipelineConfig):
                 cfg.profile_file, cfg.plane.res, cfg.massflow, cfg.density,
                 cfg.bulk_velocity, cfg.non_dim, cfg.test_gradients,
                 outdir=cfg.outdir,
+                # the reference always dumps its 16 diagnostic contour PNGs
+                # (digitalfilters.py:851-872, 1011-1022); here they are tied
+                # to verbose to keep the hot path clean
+                make_plots=cfg.verbose,
             )
             plane = dataclasses.replace(
                 cfg.plane, jma=r.jma, kma=r.kma, normal=r.normal, origin=r.center,
@@ -115,8 +119,10 @@ def generate_snapshot_matrix(
     stresses = tuple(jnp.asarray(s, dtype=dtype) for s in fields.stresses())
     means = tuple(jnp.asarray(m, dtype=dtype) for m in fields.means())
 
+    # Stress/mean fields are jit *arguments*, not closure constants — large
+    # HLO literals hit a pathologically slow remote-compile path on TPU.
     @jax.jit
-    def gen(key):
+    def gen(key, stresses, means):
         noise = filters.generate_correlated_noise(
             key, t0, nsteps, p.jma, p.kma,
             filt.nfx, filt.nfy, filt.nfz,
@@ -130,7 +136,7 @@ def generate_snapshot_matrix(
             A = rotation.rotate_velocity_packed(A, *p.normal)
         return A
 
-    return gen(key)
+    return gen(key, stresses, means)
 
 
 def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineResult:
