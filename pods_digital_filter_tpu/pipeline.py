@@ -18,6 +18,7 @@ import numpy as np
 from pods_digital_filter_tpu.config import PipelineConfig
 from pods_digital_filter_tpu.io import hdf5 as hdf5_io
 from pods_digital_filter_tpu.io import prf as prf_io
+from pods_digital_filter_tpu.io import vtk as vtk_io
 from pods_digital_filter_tpu.io.plane import PlaneGeometry, make_inflow_plane
 from pods_digital_filter_tpu.models import profiles as prof
 from pods_digital_filter_tpu.ops import filters, fourier, lund, pod, rotation
@@ -180,6 +181,13 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         with timer.stage("export"):
             files.append(prf_io.write_eigenvalues(outdir, pr.num_valid, pr.energy))
             files.append(prf_io.write_mean_prf(outdir, mean_host, geom, cfg.plane.normal))
+            # the reference always writes the mean-field VTK on the POD main
+            # path (PODFS.py:1341) and the per-mode VTKs under verbose
+            # (PODFS.py:1356-1362)
+            files.append(vtk_io.write_mean_field_vtk(outdir, mean_host, geom))
+            if cfg.verbose:
+                files.extend(vtk_io.write_spatial_modes_vtk(
+                    outdir, pr.spatial_modes, geom, pr.num_trunc))
             files.append(prf_io.write_podfs_dat(outdir, fr))
             for i in range(pr.num_trunc):
                 files.append(prf_io.write_mode_prf(
