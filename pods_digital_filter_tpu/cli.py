@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh shards along the time axis")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--checkpoint_dir", default="none",
+                   help="block-granular generation checkpoints for "
+                        "resumable runs (utils/checkpoint.py)")
+    p.add_argument("--checkpoint_block", type=int, default=0,
+                   help="steps per checkpoint block (0 = auto)")
     p.add_argument("--timings", action="store_true", help="print stage timings")
     return p
 
@@ -113,6 +118,8 @@ def config_from_args(args) -> PipelineConfig:
         test_gradients=args.test_gradients,
         outdir=args.outdir, seed=args.seed, dtype=args.dtype,
         shard_space=args.shard_space, shard_time=args.shard_time,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_block=args.checkpoint_block,
     )
 
 

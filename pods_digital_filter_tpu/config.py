@@ -123,6 +123,10 @@ class PipelineConfig:
     # Sharding: number of mesh shards along plane (z) and time axes; 1 = no sharding.
     shard_space: int = 1
     shard_time: int = 1
+    # Resumable generation: directory for block-granular checkpoints
+    # ("none" disables; see utils/checkpoint.py)
+    checkpoint_dir: str = "none"
+    checkpoint_block: int = 0           # 0 -> auto block size
 
     @property
     def np_dtype(self):

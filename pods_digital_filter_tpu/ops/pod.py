@@ -31,6 +31,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _gram_jit(A: jax.Array) -> jax.Array:
+    ns = A.shape[1]
+    return jnp.dot(A.T, A, preferred_element_type=A.dtype) / ns
+
+
+@jax.jit
+def _gram_weighted_jit(A: jax.Array, w: jax.Array) -> jax.Array:
+    ns = A.shape[1]
+    ncomp = A.shape[0] // w.shape[0]
+    Aw = A * jnp.tile(w, ncomp)[:, None]
+    return jnp.dot(Aw.T, A, preferred_element_type=A.dtype) / ns
+
+
 def gram_matrix(A: jax.Array, cell_weights=None) -> jax.Array:
     """``C = A^T A / Ns`` for the snapshot matrix ``A`` of shape
     ``(num_components*num_points, num_snapshots)``.
@@ -39,15 +53,26 @@ def gram_matrix(A: jax.Array, cell_weights=None) -> jax.Array:
     reference's cell-volume-weighted correlation
     (``correct_for_cell_volumes``, PODFS.py:1456-1464): each point row is
     weighted by its cell volume/area, tiled across components.
+
+    Jitted with array *arguments* (framework rule: eager dispatch and
+    closure constants both take pathological first-call paths on the
+    remote-compile TPU service; jitted argument-passing programs hit the
+    persistent compile cache).
     """
-    ns = A.shape[1]
     if cell_weights is not None:
-        w = jnp.asarray(cell_weights, dtype=A.dtype)
-        ncomp = A.shape[0] // w.shape[0]
-        wfull = jnp.tile(w, ncomp)[:, None]
-        Aw = A * wfull
-        return jnp.dot(Aw.T, A, preferred_element_type=A.dtype) / ns
-    return jnp.dot(A.T, A, preferred_element_type=A.dtype) / ns
+        return _gram_weighted_jit(A, jnp.asarray(cell_weights, dtype=A.dtype))
+    return _gram_jit(A)
+
+
+@jax.jit
+def center_and_gram(A: jax.Array):
+    """One fused device program for the POD front half: column mean,
+    centered matrix, Gram.  Returns ``(mean, Ac, C)``."""
+    ns = A.shape[1]
+    mean = jnp.mean(A, axis=1)
+    Ac = A - mean[:, None]
+    C = jnp.dot(Ac.T, Ac, preferred_element_type=A.dtype) / ns
+    return mean, Ac, C
 
 
 def count_valid_modes(energy: np.ndarray, tol_cn: float) -> int:
@@ -92,6 +117,28 @@ def _eigh_desc(C: jax.Array):
     return e[::-1], v[:, ::-1]
 
 
+# Below this Gram size the eigendecomposition runs on the host in float64:
+# an Ns x Ns eigh with Ns in the thousands is microseconds-to-milliseconds on
+# CPU, while the TPU lowering (Jacobi sweeps = many tiny kernels) is pure
+# overhead — catastrophically so through a remote-dispatch tunnel.  The
+# device keeps the O(Np*Ns^2) matmuls either side.  Host fp64 also improves
+# spectral parity with the reference's np.linalg.eig (PODFS.py:1309).
+HOST_EIG_MAX_NS = 8192
+
+
+def eigh_desc(C) -> tuple:
+    """Descending symmetric eigendecomposition of the Gram matrix; host
+    float64 for small C (the common case), device eigh beyond
+    ``HOST_EIG_MAX_NS``.  Returns host numpy (energy, vectors)."""
+    ns = C.shape[0]
+    if ns <= HOST_EIG_MAX_NS:
+        Ch = np.asarray(C, dtype=np.float64)
+        e, v = np.linalg.eigh((Ch + Ch.T) * 0.5)
+        return e[::-1], v[:, ::-1]
+    e, v = _eigh_desc(C)
+    return np.asarray(e, dtype=np.float64), np.asarray(v, dtype=np.float64)
+
+
 @jax.jit
 def _spatial_modes(A: jax.Array, T_scaled: jax.Array, energy: jax.Array):
     """``Phi = A @ T @ diag(1/lambda) / Ns`` (PODFS.py:1329-1333)."""
@@ -105,18 +152,18 @@ def snapshot_pod(
     num_modes_trunc: int,
     tol_cn: float = 1.0e-15,
     cell_weights=None,
+    gram=None,
 ) -> PODResult:
     """Full snapshot POD of ``A`` (shape ``(3*Np, Ns)``, mean already removed).
 
-    Device work: Gram matrix, eigh, the two big matmuls.  Host work: the tiny
-    O(Ns) bookkeeping (valid-mode count, truncation) that requires concrete
-    values.
+    Device work: Gram matrix, the two big matmuls.  Host work: the small
+    eigendecomposition (see :func:`eigh_desc`) and the tiny O(Ns)
+    bookkeeping that requires concrete values.  ``gram`` lets callers pass a
+    precomputed C (e.g. from :func:`center_and_gram`).
     """
     ns = A.shape[1]
-    C = gram_matrix(A, cell_weights)
-    e_desc, v_desc = _eigh_desc(C)
-    energy = np.asarray(e_desc, dtype=np.float64)
-    vecs = np.asarray(v_desc, dtype=np.float64)
+    C = gram_matrix(A, cell_weights) if gram is None else gram
+    energy, vecs = eigh_desc(C)
     energy, vecs = sort_eigenvalues_desc(energy, vecs)
 
     num_valid = count_valid_modes(energy, tol_cn)

@@ -155,8 +155,16 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         os.makedirs(outdir, exist_ok=True)
 
     with timer.stage("generate"):
-        A = generate_snapshot_matrix(cfg, fields, filt, rotate=rotate)
-        A.block_until_ready()
+        if cfg.checkpoint_dir != "none":
+            from pods_digital_filter_tpu.utils.checkpoint import (
+                generate_with_checkpoints)
+
+            A = jnp.asarray(generate_with_checkpoints(
+                cfg, fields, filt, cfg.checkpoint_dir,
+                block=cfg.checkpoint_block or None, rotate=rotate))
+        else:
+            A = generate_snapshot_matrix(cfg, fields, filt, rotate=rotate)
+            A.block_until_ready()
 
     if cfg.verbose and write_outputs:
         with timer.stage("write_snapshots"):
@@ -167,9 +175,9 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
                     cfg.plane.normal, cfg.plane.origin))
 
     with timer.stage("pod"):
-        mean_field = jnp.mean(A, axis=1)
-        Ac = A - mean_field[:, None]
-        pr = pod.snapshot_pod(Ac, cfg.podfs.num_modes, cfg.podfs.tol_cn)
+        mean_field, Ac, C = pod.center_and_gram(A)
+        pr = pod.snapshot_pod(Ac, cfg.podfs.num_modes, cfg.podfs.tol_cn,
+                              gram=C)
 
     with timer.stage("fourier"):
         fr = fourier.fourier_compress(
