@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: fused noise generation + spatial filtering.
+
+The XLA path (ops/filters.py) materializes the raw white-noise field
+``(C, T+2nfx, jma+2nfy, kma+2nfz)`` in HBM — at production sizes this is the
+largest array in the whole pipeline and a pure intermediate (written once by
+the RNG kernel, read once by the first filter GEMM).  This kernel fuses
+per-slab RNG (on-core PRNG, ``pltpu.prng_random_bits``) with both separable
+Toeplitz contractions, so the noise never leaves VMEM:
+
+    HBM traffic per slab:   XLA path:  write jn*kn + r/w jn*kma + write jma*kma
+                            here:      write jma*kma only
+
+The kernel computes one (component, slab) per grid step: noise (jn, kn) is
+drawn in VMEM, contracted with BzT (kn, kma) and ByM (jma, jn) on the MXU
+(both tap matrices stay VMEM-resident across the whole grid), and only the
+filtered (jma, kma) slab is written out.
+
+The noise stream is deterministic in ``(seed, component, slab index)`` but
+*different* from the Threefry stream of the XLA path (Mosaic's on-core PRNG)
+— statistically equivalent (uniform, unit variance after scaling), validated
+in tests/test_pallas_filter.py.  Use one path consistently within a run;
+both are bit-reproducible given the seed.
+
+Reference semantics being fused: white noise uniform in +/-sqrt(3)
+(digitalfilters.py:1344, 1361-1366) convolved with the separable Gaussian
+taps (digitalfilters.py:100-140).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pods_digital_filter_tpu.ops import filters
+
+_SQRT3 = float(np.sqrt(3.0))
+# VMEM budget guard: beyond this the full-slab kernel would not fit on-chip
+# and the XLA path takes over (see generate_correlated_noise_fused).
+_VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+
+
+def _kernel_body(params_ref, bzT_ref, byM_ref, out_ref):
+    """One (component, slab) per grid step: noise (jn, kn) @ BzT (kn, kma)
+    -> (jn, kma); then ByM (jma, jn) @ t -> (jma, kma).
+
+    ``params_ref`` (SMEM, (1, 3)): [seed, t0, num_slabs].  The PRNG stream
+    is seeded from the *global* (component, t0 + slab) index, so block
+    generation reproduces the slabs of a full-range call (same property as
+    the counter-indexed Threefry path, ops/filters.py:noise_slabs).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    slab = params_ref[0, 1] + pid % num_slabs        # global slab index
+    stream = comp * jnp.int32(1 << 22) + slab
+    # Knuth multiplicative hash decorrelates adjacent stream ids
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    jn = byM_ref.shape[1]
+    kn = bzT_ref.shape[0]
+    # prng_random_bits yields uint32; bitcast to int32 so the float cast
+    # lands in [-2^31, 2^31), then * 2^-32 -> uniform in [-0.5, 0.5);
+    # scale to +/-sqrt(3) for unit variance (digitalfilters.py:1344)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn)), jnp.int32)
+    u = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    x = u * jnp.float32(2.0 * _SQRT3)
+    t = jnp.dot(x, bzT_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(byM_ref[:], t, preferred_element_type=jnp.float32)
+
+
+def _kernel_body_noise_in(noise_ref, bzT_ref, byM_ref, out_ref):
+    """GEMM-only variant taking pre-drawn noise — used in interpret mode
+    (the Mosaic interpreter has no PRNG emulation: ``prng_random_bits``
+    returns zeros on CPU) and as the layout-parity test target."""
+    t = jnp.dot(noise_ref[0], bzT_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(byM_ref[:], t, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slabs", "jma", "kma", "num_components", "interpret"),
+)
+def _fused_spatial(seed, bzT, byM, num_slabs, jma, kma, num_components,
+                   interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    grid = (num_components * num_slabs,)
+    interp = pltpu.InterpretParams() if interpret else False
+
+    if interpret:
+        # draw the noise host-side (Threefry path) and run the GEMM-only
+        # kernel: validates everything except the on-core PRNG, which only
+        # exists on real TPU hardware.
+        key = jax.random.fold_in(
+            jax.random.key(seed[0, 0]), seed[0, 1])
+        raw = jax.random.uniform(
+            key, (num_components * num_slabs, jn, kn), jnp.float32,
+            -_SQRT3, _SQRT3)
+        out = pl.pallas_call(
+            _kernel_body_noise_in,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_components * num_slabs, jma, kma), jnp.float32),
+            interpret=interp,
+        )(raw, bzT, byM)
+        return out.reshape(num_components, num_slabs, jma, kma)
+
+    out = pl.pallas_call(
+        _kernel_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_components * num_slabs, jma, kma), jnp.float32),
+        interpret=interp,
+    )(seed, bzT, byM)
+    return out.reshape(num_components, num_slabs, jma, kma)
+
+
+def vmem_bytes_estimate(jma: int, kma: int, nfy: int, nfz: int) -> int:
+    jn, kn = jma + 2 * nfy, kma + 2 * nfz
+    return 4 * (jn * kn + kn * kma + jma * jn + jn * kma + jma * kma)
+
+
+def fused_spatial_available(jma: int, kma: int, nfy: int, nfz: int) -> bool:
+    return vmem_bytes_estimate(jma, kma, nfy, nfz) <= _VMEM_LIMIT_BYTES
+
+
+def generate_correlated_noise_fused(
+    seed: int,
+    t0: int,
+    nsteps: int,
+    jma: int,
+    kma: int,
+    nfx: int, nfy: int, nfz: int,
+    lnx: float, lny: float, lnz: float,
+    num_components: int = 3,
+    dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in alternative to
+    :func:`pods_digital_filter_tpu.ops.filters.generate_correlated_noise`
+    with the RNG + spatial filter fused into one Pallas kernel (different,
+    statistically-equivalent noise stream).  Falls back to the XLA path when
+    the slab working set exceeds VMEM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not fused_spatial_available(jma, kma, nfy, nfz):
+        key = jax.random.key(seed)
+        return filters.generate_correlated_noise(
+            key, t0, nsteps, jma, kma, nfx, nfy, nfz, lnx, lny, lnz,
+            num_components=num_components, dtype=dtype)
+
+    bx = filters.gaussian_fir_coeffs(nfx, lnx, jnp.float32)
+    by = filters.gaussian_fir_coeffs(nfy, lny, jnp.float32)
+    bz = filters.gaussian_fir_coeffs(nfz, lnz, jnp.float32)
+    ByM = filters.toeplitz_band(by, jma)          # (jma, jn)
+    BzT = filters.toeplitz_band(bz, kma).T        # (kn, kma)
+
+    num_slabs = nsteps + 2 * nfx
+    seed_arr = jnp.asarray([[np.int32(seed), np.int32(t0),
+                             np.int32(num_slabs)]], dtype=jnp.int32)
+    z = _fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs, jma=jma,
+                       kma=kma, num_components=num_components,
+                       interpret=interpret)
+    y = filters.filter_temporal(z, bx, axis=-3)
+    return y.astype(dtype)
