@@ -95,20 +95,18 @@ def bench_tpu():
         return acc
 
     key = jax.random.key(0)
-    xla_rate, xla_dt = _steady_rate(xla_loop, key, stresses, means)
+    rates = {"xla": _steady_rate(xla_loop, key, stresses, means)}
 
-    try:
-        pallas_rate, pallas_dt = _steady_rate(
-            pallas_loop, jnp.int32(1), BzT, ByM, bx, stresses, means)
-    except Exception as e:  # pallas path is an optimization, never a blocker
-        print(f"# pallas path failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        pallas_rate, pallas_dt = 0.0, float("inf")
-
-    return {
-        "xla": (xla_rate, xla_dt),
-        "pallas": (pallas_rate, pallas_dt),
-    }
+    for name, md in (("pallas", jnp.float32), ("pallas_bf16", jnp.bfloat16)):
+        try:
+            rates[name] = _steady_rate(
+                pallas_loop, jnp.int32(1), BzT.astype(md), ByM.astype(md),
+                bx, stresses, means)
+        except Exception as e:  # pallas is an optimization, never a blocker
+            print(f"# {name} path failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            rates[name] = (0.0, float("inf"))
+    return rates
 
 
 def bench_cpu_reference(jma=128, kma=128, nsteps=4, nf=NF, ln=LN):
@@ -161,6 +159,7 @@ def main():
             "step_wall_s": round(dt, 5),
             "xla_rate": round(rates["xla"][0], 1),
             "pallas_rate": round(rates["pallas"][0], 1),
+            "pallas_bf16_rate": round(rates["pallas_bf16"][0], 1),
             "cpu_reference_rate": round(cpu_rate, 1),
             "cpu_reference_config": "128x128 plane, 4 steps, same filter",
         },

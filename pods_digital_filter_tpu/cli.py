@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "resumable runs (utils/checkpoint.py)")
     p.add_argument("--checkpoint_block", type=int, default=0,
                    help="steps per checkpoint block (0 = auto)")
+    p.add_argument("--pallas", action="store_true", dest="use_pallas",
+                   help="fused Pallas generation kernel (on-core PRNG + "
+                        "VMEM filtering; fastest path on real TPU)")
     p.add_argument("--timings", action="store_true", help="print stage timings")
     return p
 
@@ -120,6 +123,7 @@ def config_from_args(args) -> PipelineConfig:
         shard_space=args.shard_space, shard_time=args.shard_time,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_block=args.checkpoint_block,
+        use_pallas=args.use_pallas,
     )
 
 

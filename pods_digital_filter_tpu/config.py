@@ -127,6 +127,10 @@ class PipelineConfig:
     # ("none" disables; see utils/checkpoint.py)
     checkpoint_dir: str = "none"
     checkpoint_block: int = 0           # 0 -> auto block size
+    # Fused Pallas generation kernel (ops/pallas_filter.py): on-core PRNG +
+    # spatial filter in VMEM.  Different (statistically equivalent) noise
+    # stream than the default Threefry path.
+    use_pallas: bool = False
 
     @property
     def np_dtype(self):

@@ -57,6 +57,28 @@ def eigen_spectrum(energy, path: str):
     return path + ".png"
 
 
+def wns(k, E, path: str, label: str = "E(k)"):
+    """Wavenumber spectrum with the Kolmogorov -5/3 slope overlay
+    (reference ``WNS``, nplotlib.py:415-441)."""
+    k = np.asarray(k)
+    E = np.asarray(E)
+    sel = k > 0
+    fig, ax = plt.subplots()
+    ax.loglog(k[sel], E[sel], label=label)
+    if sel.any() and E[sel].max() > 0:
+        k0 = k[sel][max(1, sel.sum() // 8)]
+        E0 = np.interp(k0, k[sel], E[sel])
+        kk = k[sel]
+        ax.loglog(kk, E0 * (kk / k0) ** (-5.0 / 3.0), "k--",
+                  label=r"$k^{-5/3}$")
+    ax.set_xlabel("wavenumber k")
+    ax.set_ylabel(label)
+    ax.legend()
+    fig.savefig(path + ".png", dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return path + ".png"
+
+
 def pod_diagnostics(outdir: str, pod_result, fourier_result, dt: float):
     """Verbose-mode diagnostic bundle: per-mode PSDs (reference
     PODFS.py:1366-1386) and temporal-mode reconstruction overlays

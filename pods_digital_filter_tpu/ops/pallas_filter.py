@@ -69,16 +69,23 @@ def _kernel_body(params_ref, bzT_ref, byM_ref, out_ref):
     bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn)), jnp.int32)
     u = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32)
     x = u * jnp.float32(2.0 * _SQRT3)
-    t = jnp.dot(x, bzT_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.dot(byM_ref[:], t, preferred_element_type=jnp.float32)
+    # the tap-matrix dtype selects the MXU pass precision: bf16 taps give
+    # single-pass MXU GEMMs (f32 accumulation); noise precision beyond bf16
+    # carries no statistical information
+    t = jnp.dot(x.astype(bzT_ref.dtype), bzT_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(byM_ref[:], t.astype(byM_ref.dtype),
+                         preferred_element_type=jnp.float32)
 
 
 def _kernel_body_noise_in(noise_ref, bzT_ref, byM_ref, out_ref):
     """GEMM-only variant taking pre-drawn noise — used in interpret mode
     (the Mosaic interpreter has no PRNG emulation: ``prng_random_bits``
     returns zeros on CPU) and as the layout-parity test target."""
-    t = jnp.dot(noise_ref[0], bzT_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.dot(byM_ref[:], t, preferred_element_type=jnp.float32)
+    t = jnp.dot(noise_ref[0].astype(bzT_ref.dtype), bzT_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(byM_ref[:], t.astype(byM_ref.dtype),
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -162,12 +169,18 @@ def generate_correlated_noise_fused(
     num_components: int = 3,
     dtype=jnp.float32,
     interpret: bool | None = None,
+    matmul_dtype=jnp.float32,
 ) -> jax.Array:
     """Drop-in alternative to
     :func:`pods_digital_filter_tpu.ops.filters.generate_correlated_noise`
     with the RNG + spatial filter fused into one Pallas kernel (different,
     statistically-equivalent noise stream).  Falls back to the XLA path when
     the slab working set exceeds VMEM.
+
+    ``matmul_dtype=jnp.bfloat16`` runs the two filter GEMMs as single-pass
+    bf16 MXU ops with f32 accumulation — the white noise carries no
+    information beyond bf16 precision, and the output statistics are
+    unchanged within estimator noise (tests/test_pallas_filter.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -180,8 +193,8 @@ def generate_correlated_noise_fused(
     bx = filters.gaussian_fir_coeffs(nfx, lnx, jnp.float32)
     by = filters.gaussian_fir_coeffs(nfy, lny, jnp.float32)
     bz = filters.gaussian_fir_coeffs(nfz, lnz, jnp.float32)
-    ByM = filters.toeplitz_band(by, jma)          # (jma, jn)
-    BzT = filters.toeplitz_band(bz, kma).T        # (kn, kma)
+    ByM = filters.toeplitz_band(by, jma).astype(matmul_dtype)   # (jma, jn)
+    BzT = filters.toeplitz_band(bz, kma).T.astype(matmul_dtype)  # (kn, kma)
 
     num_slabs = nsteps + 2 * nfx
     seed_arr = jnp.asarray([[np.int32(seed), np.int32(t0),

@@ -27,6 +27,37 @@ def make_mesh(shard_time: int = 1, shard_space: int = 1, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("t", "s"))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (``jax.distributed.initialize``) — the
+    rebuild of the reference's ``MPI.Init``-era entry (its mpi4py import is
+    disabled, nsigproclib_no_mpi.py:6).  On TPU pods the arguments are
+    auto-detected from the environment; on CPU/GPU fleets pass them
+    explicitly.  Safe to call more than once."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+
+
+def global_mesh(shard_time: int = 1, shard_space: int = 0) -> Mesh:
+    """Mesh over *all* global devices (multi-host): lay the 's' axis within
+    hosts (ICI) and 't' across hosts (DCN) — plane-tile halo exchanges ride
+    the fast interconnect, while time blocks need no communication at all
+    during generation.  ``shard_space=0`` -> all remaining devices."""
+    n = len(jax.devices())
+    if shard_space == 0:
+        if n % shard_time:
+            raise ValueError(f"{n} devices not divisible by shard_time={shard_time}")
+        shard_space = n // shard_time
+    return make_mesh(shard_time, shard_space)
+
+
 def snapshot_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding of the packed snapshot matrix A (3*Np, Ns): rows (space)
     over 's', snapshots (time) over 't'."""

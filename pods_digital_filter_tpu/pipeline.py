@@ -124,12 +124,24 @@ def generate_snapshot_matrix(
     # HLO literals hit a pathologically slow remote-compile path on TPU.
     @jax.jit
     def gen(key, stresses, means):
-        noise = filters.generate_correlated_noise(
-            key, t0, nsteps, p.jma, p.kma,
-            filt.nfx, filt.nfy, filt.nfz,
-            filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
-            num_components=3, dtype=dtype,
-        )  # (3, Ns, jma, kma)
+        if cfg.use_pallas:
+            from pods_digital_filter_tpu.ops import pallas_filter
+
+            noise = pallas_filter.generate_correlated_noise_fused(
+                cfg.seed, t0, nsteps, p.jma, p.kma,
+                filt.nfx, filt.nfy, filt.nfz,
+                filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
+                num_components=3, dtype=dtype,
+                matmul_dtype=(jnp.bfloat16 if cfg.dtype == "bfloat16"
+                              else jnp.float32),
+            )
+        else:
+            noise = filters.generate_correlated_noise(
+                key, t0, nsteps, p.jma, p.kma,
+                filt.nfx, filt.nfy, filt.nfz,
+                filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
+                num_components=3, dtype=dtype,
+            )  # (3, Ns, jma, kma)
         # broadcast per-k (kma,) or (jma,kma) stats against (Ns, jma, kma)
         colored = lund.apply_lund_stacked(noise, stresses, means)
         A = _pack_snapshots(colored)

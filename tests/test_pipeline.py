@@ -130,3 +130,63 @@ def test_cli_smoke(tmp_path, monkeypatch):
                    "--dtype", "float32", "--outdir", str(tmp_path / "PODFS")])
     assert rc == 0
     assert os.path.exists(tmp_path / "PODFS" / "PODFS.dat")
+
+
+def test_reynolds_stress_statistical_parity(tmp_path):
+    """The full chain (noise -> filter -> Lund) must reproduce the target
+    Reynolds stresses within ensemble SNR — the statistical-equivalence
+    criterion of SURVEY.md §7 (the reference validates the same physics via
+    its Lund construction, digitalfilters.py:143-178)."""
+    from pods_digital_filter_tpu.models import profiles as prof
+    from pods_digital_filter_tpu.pipeline import (generate_snapshot_matrix,
+                                                  resolve_profile)
+
+    cfg = small_config(
+        tmp_path,
+        plane=PlaneConfig(jma=48, kma=33, res=0.1),
+        filt=FilterConfig(length_scale_x=1.5, length_scale_y=1.5,
+                          length_scale_z=1.5, fwidth=2.0),
+        nsteps=192, turbulence_intensity=0.1, verbose=False, hdf5=False,
+        dtype="float32",
+    )
+    fields, dt, filt, cfg, rotate = resolve_profile(cfg)
+    A = np.asarray(generate_snapshot_matrix(cfg, fields, filt, rotate=False))
+    npts = cfg.plane.num_points
+    jma, kma = cfg.plane.jma, cfg.plane.kma
+
+    u = A[:npts].reshape(jma, kma, -1)
+    U_target = np.broadcast_to(np.asarray(fields.mean_u), (jma, kma))[0]
+    uu_target = np.broadcast_to(np.asarray(fields.uu), (jma, kma))[0]
+    # mean profile: reproduced everywhere
+    U_mean = u.mean(axis=(0, 2))
+    np.testing.assert_allclose(U_mean, U_target, atol=0.08)
+    # Reynolds stress at the jet core (k = kma//2): target (TI*U0)^2 = 0.01
+    core = slice(kma // 2 - 3, kma // 2 + 4)
+    uu_meas = u[:, core, :].var()
+    uu_tgt = float(np.mean(uu_target[core]))
+    assert abs(uu_meas - uu_tgt) < 0.25 * uu_tgt, (uu_meas, uu_tgt)
+    # shear stress uw is zero for this profile
+    w = A[2 * npts:].reshape(jma, kma, -1)
+    uw = ((u - u.mean(axis=2, keepdims=True))
+          * (w - w.mean(axis=2, keepdims=True))).mean(axis=2)
+    # per-point estimate is noisy (~uu/sqrt(Ns)); the field-mean must vanish
+    assert abs(uw[:, core].mean()) < 0.05 * uu_tgt
+    assert np.abs(uw[:, core]).max() < 0.5 * uu_tgt
+
+
+def test_two_point_correlation_length_scale(tmp_path):
+    """Two-point correlation in z follows the Gaussian tap autocorrelation
+    with the prescribed length scale (SURVEY.md §4 closed-form property)."""
+    import jax.numpy as jnp
+
+    from pods_digital_filter_tpu.ops import filters
+
+    nf, ln = 4, 2.0
+    y = np.asarray(filters.generate_correlated_noise(
+        __import__("jax").random.key(5), 0, 96, 48, 64, nf, nf, nf,
+        ln, ln, ln, num_components=1, dtype=jnp.float32))[0]
+    b = np.asarray(filters.gaussian_fir_coeffs(nf, ln, jnp.float32))
+    for sep in (1, 2, 3):
+        expected = float((b[:-sep] * b[sep:]).sum())
+        meas = (y[..., :-sep] * y[..., sep:]).mean() / y.var()
+        assert abs(meas - expected) < 0.06, (sep, meas, expected)
