@@ -1,0 +1,101 @@
+"""PODFS replay module: load both on-disk model flavors and evaluate the
+replay equation (docs/usage/CFDCodeIntegration.rst:85-91) on-device.
+
+The round-trip oracle: with et=1 (all Fourier coefficients kept), replaying
+at the snapshot times must reproduce mean + truncated POD reconstruction —
+and, when all valid modes are kept, the original snapshots themselves.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pods_digital_filter_tpu import replay
+from pods_digital_filter_tpu.config import (
+    FilterConfig, PipelineConfig, PlaneConfig, PODFSConfig,
+)
+from pods_digital_filter_tpu.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def model_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("replay") / "PODFS"
+    cfg = PipelineConfig(
+        plane=PlaneConfig(jma=10, kma=11, res=0.1),
+        filt=FilterConfig(length_scale_x=2.0, length_scale_y=2.0,
+                          length_scale_z=2.0, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=6, energy_target=1.0),
+        nsteps=12, outdir=str(out), dtype="float64", hdf5=True,
+    )
+    res = run_pipeline(cfg)
+    return cfg, res
+
+
+def test_load_prf_and_hdf5_agree(model_run):
+    cfg, res = model_run
+    m_prf = replay.load_prf(cfg.outdir)
+    m_h5 = replay.load_hdf5(os.path.join(cfg.outdir, "PODFS.hdf5"))
+
+    assert m_prf.num_modes == m_h5.num_modes == res.pod.num_trunc
+    assert m_prf.period == pytest.approx(m_h5.period)
+    np.testing.assert_allclose(m_prf.points, m_h5.points, atol=1e-11)
+    # .prf cells are %0.12f fixed-width; HDF5 is full float64
+    np.testing.assert_allclose(m_prf.mean, m_h5.mean, atol=1e-11)
+    np.testing.assert_allclose(m_prf.modes, m_h5.modes, atol=1e-11)
+    np.testing.assert_allclose(m_prf.k, m_h5.k)
+    # PODFS.dat floats are shortest-repr -> exact round trip
+    np.testing.assert_allclose(m_prf.c_re, m_h5.c_re, rtol=1e-12)
+    np.testing.assert_allclose(m_prf.c_im, m_h5.c_im, rtol=1e-12)
+    np.testing.assert_array_equal(m_prf.counts, m_h5.counts)
+
+
+def test_load_model_dispatch(model_run):
+    cfg, _ = model_run
+    assert isinstance(replay.load_model(cfg.outdir), replay.PODFSModel)
+    assert isinstance(
+        replay.load_model(os.path.join(cfg.outdir, "PODFS.hdf5")),
+        replay.PODFSModel)
+
+
+def test_replay_matches_pod_reconstruction(model_run):
+    cfg, res = model_run
+    rp = replay.Replayer(replay.load_hdf5(os.path.join(cfg.outdir, "PODFS.hdf5")))
+    ns = cfg.nsteps
+    nm = rp.model.num_modes
+    ts = np.arange(ns) * res.dt
+
+    got = rp.batch(ts)                       # (Ns, Np, 3)
+    npts = rp.model.num_points
+    got_packed = got.transpose(0, 2, 1).reshape(ns, 3 * npts).T  # (3Np, Ns)
+
+    want = (res.mean_field[:, None]
+            + res.pod.spatial_modes @ res.pod.temporal_modes[:, :nm].T)
+    np.testing.assert_allclose(got_packed, want, atol=1e-7)
+
+    # all valid modes kept -> the original snapshots themselves
+    if nm == res.pod.num_valid:
+        A_orig = res.mean_field[:, None] + res.A
+        np.testing.assert_allclose(got_packed, A_orig, atol=1e-6)
+
+
+def test_replay_single_time_and_alpha(model_run):
+    cfg, res = model_run
+    rp = replay.Replayer(replay.load_prf(cfg.outdir))
+
+    u0 = rp(0.0)
+    assert u0.shape == (rp.model.num_points, 3)
+    np.testing.assert_allclose(u0, rp.batch([0.0])[0])
+
+    # alpha scales only the mean contribution
+    u_a = rp(0.0, alpha=2.0)
+    mean = rp.model.mean.reshape(3, -1).T
+    np.testing.assert_allclose(u_a - u0, mean, atol=1e-9)
+
+
+def test_replay_periodicity(model_run):
+    """The Fourier series is T-periodic: t and t+T give identical fields."""
+    cfg, _ = model_run
+    rp = replay.Replayer(replay.load_prf(cfg.outdir))
+    t = 0.37 * rp.model.period
+    np.testing.assert_allclose(rp(t), rp(t + rp.model.period), atol=1e-8)
