@@ -103,10 +103,14 @@ def read_prf(
     make_plots: bool = False,
 ) -> PrfProfile:
     roles, skip = _parse_header(profile_file)
-    try:
-        data = np.loadtxt(profile_file, skiprows=skip)
-    except Exception:
-        data = np.loadtxt(profile_file, skiprows=skip, delimiter=",")
+    from pods_digital_filter_tpu import native
+
+    data = native.parse_table(profile_file)
+    if data is None or data.shape[1] <= max(roles.values()):
+        try:
+            data = np.loadtxt(profile_file, skiprows=skip)
+        except Exception:
+            data = np.loadtxt(profile_file, skiprows=skip, delimiter=",")
 
     def col(name):
         return data[:, roles[name]] if name in roles else None

@@ -45,9 +45,14 @@ def _compile() -> str | None:
                 if os.path.exists(out) and os.path.getmtime(out) >= src_m:
                     return out
                 tmp = out + f".tmp{os.getpid()}"
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
-                    check=True, capture_output=True, timeout=120)
+                base = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"]
+                try:
+                    # OpenMP parallelizes parse_table within large files
+                    subprocess.run(base + ["-fopenmp"], check=True,
+                                   capture_output=True, timeout=120)
+                except subprocess.SubprocessError:
+                    subprocess.run(base, check=True, capture_output=True,
+                                   timeout=120)
                 os.replace(tmp, out)
                 return out
             except (OSError, subprocess.SubprocessError):
@@ -74,8 +79,16 @@ def _load():
                     ctypes.POINTER(ctypes.c_double),
                     ctypes.c_long, ctypes.c_long, ctypes.c_char,
                 ]
+            fn = lib.parse_table
+            fn.restype = ctypes.c_long
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
             _LIB = lib
-        except OSError:
+        except (OSError, AttributeError):
             _LIB = None
         return _LIB
 
@@ -113,3 +126,51 @@ def write_rows_g17(path: str, mode: str, rows: np.ndarray,
                    sep: str = "\t") -> bool:
     """Append/write ``rows`` as sep-joined ``%.17g`` lines."""
     return _call("write_rows_g17", path, mode, rows, sep)
+
+
+def parse_table(path: str):
+    """Parse an ASCII numeric table (whitespace/comma separated; header and
+    comment lines skipped) into a 2-D float64 array.
+
+    This is the native data-loader fast path for the ``inflow.%06i``
+    snapshot series (reference ``read_inflow_data``, PODFS.py:1230-1240)
+    and ``.prf`` profile bodies — ~10-20x faster than ``np.loadtxt`` and
+    GIL-free, so callers can fan file loads out over a thread pool.
+
+    Returns ``None`` when the native library is unavailable or the table is
+    ragged (callers fall back to the Python reader).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return None
+    # every value needs >= 2 bytes ("0 ", "1,"), so size//2+1 bounds the count
+    bound = size // 2 + 1
+    out = np.empty(bound, dtype=np.float64)
+    ncols = ctypes.c_long(0)
+    n = lib.parse_table(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        bound, ctypes.byref(ncols))
+    if n < 0 or ncols.value <= 0 or n % ncols.value != 0:
+        return None
+    return out[:n].reshape(n // ncols.value, ncols.value).copy()
+
+
+def parse_tables(paths, max_workers: int | None = None):
+    """Parse many tables concurrently (the native parser releases the GIL).
+
+    Returns a list of 2-D arrays with ``None`` for any file the native path
+    could not handle — or ``None`` entirely if the library is unavailable.
+    """
+    if _load() is None:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    if max_workers is None:
+        max_workers = min(32, (os.cpu_count() or 4), max(1, len(paths)))
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(parse_table, paths))

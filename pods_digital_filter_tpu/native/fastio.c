@@ -109,6 +109,216 @@ long write_rows_fixed12(const char *path, const char *mode,
     return nrows;
 }
 
+/* ------------------------------------------------------------------ */
+/* Numeric table parser — the framework's data-loader hot path.
+ *
+ * Reads an ASCII table (whitespace- and/or comma-separated), skipping any
+ * line whose first non-space character cannot start a number (headers,
+ * comments, the .prf "data,x,y,z,..." role line).  Handles both the
+ * inflow.%06i snapshot series (PODFS.py:1230-1240 reads them with
+ * np.loadtxt) and .prf profile bodies.  Self-contained (heap file buffer,
+ * caller-owned output) so many files can be parsed concurrently — ctypes
+ * releases the GIL, and probes.read_inflow_data fans file loads out over a
+ * thread pool.
+ *
+ * out receives up to max_vals doubles; *ncols_out gets the value count of
+ * the first numeric line.  Returns total values parsed, -1 on I/O error,
+ * -2 if the table holds more than max_vals values.                     */
+
+#include <stdlib.h>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+/* Correctly-rounded fast double parse (Clinger's fast path: exact when the
+ * mantissa fits 53 bits and the decimal exponent is within +/-22, which
+ * covers every fixed-12 .prf cell and typical CFD snapshot values); falls
+ * back to strtod for long mantissas / large exponents.  Returns the value
+ * and advances *pp past the number; sets *ok = 0 if no number present. */
+static double parse_double(const char **pp, int *ok)
+{
+    static const double p10[] = {
+        1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9, 1e10, 1e11,
+        1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+    const char *start = *pp;
+    const char *p = start;
+    int neg = 0;
+    if (*p == '-') { neg = 1; ++p; }
+    else if (*p == '+') ++p;
+
+    uint64_t mant = 0;
+    int ndig = 0, dexp = 0, seen = 0, truncated = 0;
+    while (*p >= '0' && *p <= '9') {
+        if (ndig < 19) { mant = mant * 10 + (uint64_t)(*p - '0'); ++ndig; }
+        else { ++dexp; truncated = 1; }
+        ++p; ++seen;
+    }
+    if (*p == '.') {
+        ++p;
+        while (*p >= '0' && *p <= '9') {
+            if (ndig < 19) {
+                mant = mant * 10 + (uint64_t)(*p - '0'); ++ndig; --dexp;
+            } else truncated = 1;
+            ++p; ++seen;
+        }
+    }
+    if (!seen) { *ok = 0; return 0.0; }
+    if (*p == 'e' || *p == 'E' || *p == 'd' || *p == 'D') {
+        const char *pe = p + 1;
+        int eneg = 0;
+        if (*pe == '-') { eneg = 1; ++pe; }
+        else if (*pe == '+') ++pe;
+        int ev = 0, edig = 0;
+        while (*pe >= '0' && *pe <= '9' && edig < 8) {
+            ev = ev * 10 + (*pe - '0'); ++pe; ++edig;
+        }
+        if (edig) { dexp += eneg ? -ev : ev; p = pe; }
+    }
+    *ok = 1;
+    if (!truncated && (mant >> 53) == 0 && dexp >= -22 && dexp <= 22) {
+        double v = (double)mant;
+        v = dexp < 0 ? v / p10[-dexp] : v * p10[dexp];
+        *pp = p;
+        return neg ? -v : v;
+    }
+    /* slow exact path */
+    char *end;
+    double v = strtod(start, &end);
+    if (end == start) { *ok = 0; return 0.0; }
+    *pp = end;
+    return v;
+}
+
+/* Parse the half-open text range [p, lim) (which starts at a line start)
+ * into out (capacity cap).  Returns the value count, -2 on overflow; first
+ * numeric line's value count goes to *ncols_out. */
+static long parse_range(const char *p, const char *lim, double *out,
+                        long cap, long *ncols_out)
+{
+    long count = 0, ncols = 0;
+    while (p < lim) {
+        while (p < lim && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+        if (p >= lim) break;
+        int numeric = (*p == '-' || *p == '+' || *p == '.' ||
+                       (*p >= '0' && *p <= '9'));
+        if (!numeric) {
+            while (p < lim && *p != '\n') ++p;
+            if (p < lim) ++p;
+            continue;
+        }
+        long line_vals = 0;
+        while (p < lim && *p != '\n') {
+            if (*p == ' ' || *p == '\t' || *p == '\r' || *p == ',' ||
+                *p == ';') { ++p; continue; }
+            int ok;
+            double v = parse_double(&p, &ok);
+            if (!ok) {                  /* junk mid-line: drop the rest */
+                while (p < lim && *p != '\n') ++p;
+                break;
+            }
+            if (count >= cap) return -2;
+            out[count++] = v;
+            ++line_vals;
+        }
+        if (p < lim) ++p;
+        if (ncols == 0) ncols = line_vals;
+    }
+    *ncols_out = ncols;
+    return count;
+}
+
+long parse_table(const char *path, double *out, long max_vals,
+                 long *ncols_out)
+{
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -1; }
+    long size = ftell(f);
+    if (size < 0) { fclose(f); return -1; }
+    rewind(f);
+    char *text = (char *)malloc((size_t)size + 1);
+    if (!text) { fclose(f); return -1; }
+    if (size && fread(text, 1, (size_t)size, f) != (size_t)size) {
+        free(text); fclose(f); return -1;
+    }
+    fclose(f);
+    text[size] = '\0';
+
+    long total;
+    long ncols = 0;
+
+#ifdef _OPENMP
+    if (size > (1 << 20)) {
+        /* chunk at line boundaries; threads parse into private buffers */
+        int nt = omp_get_max_threads();
+        if (nt > 16) nt = 16;
+        const char **starts = (const char **)malloc(
+            (size_t)(nt + 1) * sizeof(char *));
+        double **bufs = (double **)calloc((size_t)nt, sizeof(double *));
+        long *counts = (long *)calloc((size_t)nt, sizeof(long));
+        long *cols = (long *)calloc((size_t)nt, sizeof(long));
+        if (!starts || !bufs || !counts || !cols) {
+            free(starts); free(bufs); free(counts); free(cols);
+            free(text);
+            return -1;
+        }
+        starts[0] = text;
+        for (int i = 1; i < nt; ++i) {
+            const char *p = text + (size * i) / nt;
+            while (*p && *p != '\n') ++p;
+            starts[i] = *p ? p + 1 : p;
+        }
+        starts[nt] = text + size;
+
+        int oom = 0;
+        #pragma omp parallel for num_threads(nt) schedule(static, 1)
+        for (int i = 0; i < nt; ++i) {
+            long span = (long)(starts[i + 1] - starts[i]);
+            long cap = span / 2 + 1;
+            bufs[i] = (double *)malloc((size_t)cap * sizeof(double));
+            if (!bufs[i]) {
+                #pragma omp atomic write
+                oom = 1;
+                counts[i] = 0;
+            } else {
+                counts[i] = parse_range(starts[i], starts[i + 1], bufs[i],
+                                        cap, &cols[i]);
+            }
+        }
+        total = 0;
+        for (int i = 0; i < nt; ++i) {
+            if (counts[i] < 0) total = -2;
+            if (total >= 0) total += counts[i];
+            if (ncols == 0) ncols = cols[i];
+        }
+        if (oom) total = -1;
+        if (total >= 0) {
+            if (total > max_vals) {
+                total = -2;
+            } else {
+                long off = 0;
+                for (int i = 0; i < nt; ++i) {
+                    memcpy(out + off, bufs[i],
+                           (size_t)counts[i] * sizeof(double));
+                    off += counts[i];
+                }
+            }
+        }
+        for (int i = 0; i < nt; ++i) free(bufs[i]);
+        free(starts); free(bufs); free(counts); free(cols);
+        free(text);
+        if (ncols_out) *ncols_out = ncols;
+        return total;
+    }
+#endif
+
+    total = parse_range(text, text + size, out, max_vals, &ncols);
+    free(text);
+    if (ncols_out) *ncols_out = ncols;
+    return total;
+}
+
 /* Plain shortest-float rows (PODFS.dat style "%.17g" round-trippable). */
 long write_rows_g17(const char *path, const char *mode,
                     const double *data, long nrows, long ncols,

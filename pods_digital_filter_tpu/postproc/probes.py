@@ -77,10 +77,16 @@ def read_inflow_data(
     num_snapshots) from ``inflow.%06i`` text files — reference
     ``read_inflow_data`` (PODFS.py:1230-1240), including its
     ``order='F'`` flattening of each (num_cells, num_components) table."""
+    from pods_digital_filter_tpu import native
+
+    paths = [os.path.join(directory, f"{prefix}{i:06d}")
+             for i in range(num_snapshots)]
     A = np.zeros((num_cells * num_components, num_snapshots), dtype=np.float64)
-    for i in range(num_snapshots):
-        path = os.path.join(directory, f"{prefix}{i:06d}")
-        M = np.loadtxt(path)
+    # native GIL-free parser fanned over a thread pool; per-file fallback
+    tables = native.parse_tables(paths) or [None] * num_snapshots
+    for i, (path, M) in enumerate(zip(paths, tables)):
+        if M is None:
+            M = np.loadtxt(path)
         A[:, i] = M.reshape(num_cells * num_components, order="F")
     return A
 

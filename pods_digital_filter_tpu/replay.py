@@ -44,6 +44,12 @@ def read_field_prf(path: str):
     ``data,x,y,z,u,v,w``, then comma-separated fixed-width rows) is defined
     by the reference's ``pod2prf`` writer (PODFS.py:1711-1745).
     """
+    from pods_digital_filter_tpu import native
+
+    tab = native.parse_table(path)
+    if tab is not None and tab.shape[1] == 6:
+        return tab[:, 0:3].copy(), tab[:, 3:6].copy()
+
     points = []
     u = []
     in_data = False
