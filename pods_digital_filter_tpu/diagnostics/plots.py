@@ -1,6 +1,15 @@
-"""Off-hot-path matplotlib diagnostics (replaces nplotlib.py's main-path
-functions: ``contourf``, ``timeseries``, ``PSD``, ``eigs``; nplotlib.py:84,
-140, 393, 465).  Agg backend, PNG output."""
+"""Off-hot-path matplotlib diagnostics — the framework's replacement for
+the reference's ``nplotlib.py`` wrapper layer.
+
+Main-path functions (``contourf``, ``timeseries``, ``PSD``, ``eigs``;
+nplotlib.py:84, 140, 393, 465) plus the general-purpose helpers the
+reference exposes for post-processing scripts (``bar`` 46, ``plot`` 163,
+``scatter`` 185, ``logscatter`` 314, ``hist`` 291, ``semilogx`` 382,
+``PSD3`` 454, ``convergence`` 476, ``contourfquiver`` 105,
+``contourfcontour`` 120, ``scatter_3d`` 491) and a matplotlib
+``tricontourf`` equivalent of the offscreen-VTK field renderers
+(``vtkcontourf``/``vtkcontourfgrid``, nplotlib.py:531/758) that works on
+the framework's VTK-free plane geometry.  Agg backend, PNG output."""
 
 from __future__ import annotations
 
@@ -77,6 +86,159 @@ def wns(k, E, path: str, label: str = "E(k)"):
     fig.savefig(path + ".png", dpi=200, bbox_inches="tight")
     plt.close(fig)
     return path + ".png"
+
+
+def _save(fig, path: str) -> str:
+    fig.savefig(path + ".png", dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return path + ".png"
+
+
+def plot(x, y, path: str, xlabel: str = "", ylabel: str = "", title: str = ""):
+    """General x-y line plot (nplotlib.plot, 163)."""
+    fig, ax = plt.subplots()
+    ax.plot(x, y)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    return _save(fig, path)
+
+
+def bar(heights, path: str, labels=None, ylabel: str = ""):
+    """Bar chart (nplotlib.bar/sbar, 46/59)."""
+    fig, ax = plt.subplots()
+    x = np.arange(len(heights))
+    ax.bar(x, heights)
+    if labels is not None:
+        ax.set_xticks(x, labels)
+    ax.set_ylabel(ylabel)
+    return _save(fig, path)
+
+
+def hist(values, path: str, bins: int = 50, xlabel: str = ""):
+    """Histogram (nplotlib.hist, 291)."""
+    fig, ax = plt.subplots()
+    ax.hist(np.asarray(values).ravel(), bins=bins)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("count")
+    return _save(fig, path)
+
+
+def scatter(x, y, path: str, xlabel: str = "", ylabel: str = "",
+            equal_aspect: bool = False, loglog: bool = False):
+    """Scatter plot (nplotlib.scatter/scatter2/scattereq/logscatter,
+    185/202/220/314)."""
+    fig, ax = plt.subplots()
+    ax.scatter(x, y, s=6)
+    if loglog:
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+    if equal_aspect:
+        ax.set_aspect("equal")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    return _save(fig, path)
+
+
+def semilogx(x, y, path: str, xlabel: str = "", ylabel: str = ""):
+    """Log-x line plot (nplotlib.semilogx, 382)."""
+    fig, ax = plt.subplots()
+    ax.semilogx(x, y)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    return _save(fig, path)
+
+
+def psd3(freqs, spectra, path: str, labels=None):
+    """Overlay of several PSDs on one log-log axis (nplotlib.PSD3, 454)."""
+    freqs = np.asarray(freqs)
+    sel = freqs > 0
+    fig, ax = plt.subplots()
+    for i, Sxx in enumerate(spectra):
+        lbl = labels[i] if labels else f"signal {i}"
+        ax.loglog(freqs[sel], np.asarray(Sxx)[sel], label=lbl)
+    ax.set_xlabel("frequency [Hz]")
+    ax.set_ylabel("PSD")
+    ax.legend()
+    return _save(fig, path)
+
+
+def convergence(values, path: str, ylabel: str = "residual"):
+    """Iteration-convergence semilogy plot (nplotlib.convergence, 476)."""
+    v = np.maximum(np.abs(np.asarray(values, dtype=np.float64)), 1e-300)
+    fig, ax = plt.subplots()
+    ax.semilogy(np.arange(1, len(v) + 1), v, "o-")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel(ylabel)
+    return _save(fig, path)
+
+
+def contourf_quiver(y, z, field, vy, vz, path: str, title: str = "",
+                    levels: int = 100, stride: int = 2):
+    """Filled contours + in-plane velocity arrows (nplotlib.contourfquiver,
+    105)."""
+    fig, ax = plt.subplots()
+    cs = ax.contourf(y, z, field, levels, cmap="jet")
+    fig.colorbar(cs, ax=ax)
+    ax.quiver(np.asarray(y)[::stride, ::stride], np.asarray(z)[::stride, ::stride],
+              np.asarray(vy)[::stride, ::stride], np.asarray(vz)[::stride, ::stride])
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    return _save(fig, path)
+
+
+def contourf_contour(y, z, field, overlay, path: str, title: str = "",
+                     levels: int = 100, overlay_levels: int = 10):
+    """Filled contours with line-contour overlay (nplotlib.contourfcontour,
+    120)."""
+    fig, ax = plt.subplots()
+    cs = ax.contourf(y, z, field, levels, cmap="jet")
+    fig.colorbar(cs, ax=ax)
+    ax.contour(y, z, overlay, overlay_levels, colors="k", linewidths=0.5)
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    return _save(fig, path)
+
+
+def scatter_3d(x, y, z, path: str, c=None):
+    """3-D point cloud (nplotlib.scatter_3d, 491)."""
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(x, y, z, c=c, s=4)
+    return _save(fig, path)
+
+
+def render_field(points, values, path: str, title: str = "",
+                 component: int | None = None, levels: int = 100):
+    """Render a field on an arbitrary plane point cloud — the matplotlib
+    equivalent of the reference's offscreen-VTK contour renderers
+    (``vtkcontourf``/``vtkcontourf_obj``/``vtkcontourfgrid``,
+    nplotlib.py:531-845), using the two dominant in-plane coordinates and
+    ``tricontourf`` so no structured grid or VTK library is needed.
+
+    ``values`` is (Np,) scalar, (Np, 3) vector (renders magnitude unless
+    ``component`` picks one), or packed (3*Np,).
+    """
+    points = np.asarray(points)
+    values = np.asarray(values)
+    npts = points.shape[0]
+    if values.ndim == 1 and values.size == 3 * npts:
+        values = values.reshape(npts, 3, order="F")
+    if values.ndim == 2:
+        values = values[:, component] if component is not None \
+            else np.linalg.norm(values, axis=1)
+
+    # project onto the two largest-extent coordinate axes
+    spans = points.max(axis=0) - points.min(axis=0)
+    a, b = np.argsort(spans)[-2:]
+    fig, ax = plt.subplots()
+    cs = ax.tricontourf(points[:, a], points[:, b], values, levels, cmap="jet")
+    fig.colorbar(cs, ax=ax)
+    ax.set_xlabel("xyz"[a])
+    ax.set_ylabel("xyz"[b])
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    return _save(fig, path)
 
 
 def pod_diagnostics(outdir: str, pod_result, fourier_result, dt: float):
