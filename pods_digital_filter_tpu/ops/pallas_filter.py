@@ -63,12 +63,24 @@ def _kernel_body(params_ref, bzT_ref, byM_ref, out_ref):
     pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
     jn = byM_ref.shape[1]
     kn = bzT_ref.shape[0]
-    # prng_random_bits yields uint32; bitcast to int32 so the float cast
-    # lands in [-2^31, 2^31), then * 2^-32 -> uniform in [-0.5, 0.5);
-    # scale to +/-sqrt(3) for unit variance (digitalfilters.py:1344)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn)), jnp.int32)
-    u = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32)
-    x = u * jnp.float32(2.0 * _SQRT3)
+    if kn % 2 == 0:
+        # 16 random bits per noise value (the filter GEMMs run in <=bf16
+        # anyway, so 2^16 uniform levels are beyond the precision the MXU
+        # sees): one uint32 draw yields two int16 halves, halving the PRNG
+        # work.  Unpack via mask/shift, concat along k (noise ordering is
+        # statistically irrelevant); scale 2*sqrt(3)/2^16 in f32 keeps the
+        # variance exact before the bf16 rounding at the dot.
+        bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn // 2)), jnp.int32)
+        lo = jnp.bitwise_and(bits, jnp.int32(0xFFFF)) - jnp.int32(32768)
+        hi = jax.lax.shift_right_arithmetic(bits, 16)
+        v = jnp.concatenate([lo, hi], axis=1)
+        x = v.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    else:
+        # odd kn: 32-bit draw; bitcast to int32 so the float cast lands in
+        # [-2^31, 2^31), then * 2^-32 -> uniform in [-0.5, 0.5); scale to
+        # +/-sqrt(3) for unit variance (digitalfilters.py:1344)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn)), jnp.int32)
+        x = bits.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 * 2.0 ** -32)
     # the tap-matrix dtype selects the MXU pass precision: bf16 taps give
     # single-pass MXU GEMMs (f32 accumulation); noise precision beyond bf16
     # carries no statistical information
