@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", dest="use_pallas",
                    help="fused Pallas generation kernel (on-core PRNG + "
                         "VMEM filtering; fastest path on real TPU)")
+    p.add_argument("--streaming_block", type=int, default=0,
+                   help="out-of-core POD: never materialize the snapshot "
+                        "matrix; regenerate blocks of this many steps "
+                        "instead (0 = off; use when 3*Np*nsteps exceeds "
+                        "device memory)")
     p.add_argument("--timings", action="store_true", help="print stage timings")
     return p
 
@@ -124,6 +129,7 @@ def config_from_args(args) -> PipelineConfig:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_block=args.checkpoint_block,
         use_pallas=args.use_pallas,
+        streaming_block=args.streaming_block,
     )
 
 

@@ -131,6 +131,10 @@ class PipelineConfig:
     # spatial filter in VMEM.  Different (statistically equivalent) noise
     # stream than the default Threefry path.
     use_pallas: bool = False
+    # Out-of-core POD (streaming.py): never materialize the (3*Np, Ns)
+    # snapshot matrix; regenerate blocks of this many steps from the
+    # counter-indexed noise stream instead.  0 -> off (in-memory POD).
+    streaming_block: int = 0
 
     @property
     def np_dtype(self):

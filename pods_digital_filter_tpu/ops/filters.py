@@ -186,11 +186,14 @@ def filter_temporal(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "t0", "nsteps", "jma", "kma", "num_components", "dtype",
+        "nsteps", "jma", "kma", "num_components", "dtype",
     ),
 )
 def _generate_jit(key, bx, by, bz, t0, nsteps, jma, kma,
                   num_components, dtype):
+    # t0 is a *dynamic* argument: every block window [t0, t0+nsteps)
+    # shares one compiled executable (the streaming POD regenerates
+    # O(B^2) blocks — ops/../streaming.py)
     nfy = (by.shape[0] - 1) // 2
     nfz = (bz.shape[0] - 1) // 2
     jn = jma + 2 * nfy

@@ -209,8 +209,10 @@ def generate_correlated_noise_fused(
     BzT = filters.toeplitz_band(bz, kma).T.astype(matmul_dtype)  # (kn, kma)
 
     num_slabs = nsteps + 2 * nfx
-    seed_arr = jnp.asarray([[np.int32(seed), np.int32(t0),
-                             np.int32(num_slabs)]], dtype=jnp.int32)
+    # tracer-safe: seed/t0 may be dynamic jit arguments (streaming POD)
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32),
+        jnp.asarray(num_slabs, jnp.int32)])[None, :]
     z = _fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs, jma=jma,
                        kma=kma, num_components=num_components,
                        interpret=interpret)

@@ -147,6 +147,28 @@ def _spatial_modes(A: jax.Array, T_scaled: jax.Array, energy: jax.Array):
     return jnp.dot(A, M, preferred_element_type=A.dtype) / ns
 
 
+def temporal_from_gram(C, ns: int, num_modes_trunc: int, tol_cn: float):
+    """The eigen half of snapshot POD: Gram matrix -> sorted eigenvalues,
+    valid-mode count, and reference-scaled temporal modes
+    (PODFS.py:1309-1325).  Host numpy outputs; shared by the in-memory and
+    the out-of-core (streaming) POD paths."""
+    energy, vecs = eigh_desc(C)
+    energy, vecs = sort_eigenvalues_desc(energy, vecs)
+
+    num_valid = count_valid_modes(energy, tol_cn)
+    if num_modes_trunc < 0 or num_modes_trunc > num_valid:
+        num_modes_trunc = num_valid
+
+    # Temporal-mode scaling (PODFS.py:1322-1325): scale each valid column so
+    # its mean square equals its eigenvalue.
+    temporal = vecs.copy()
+    for j in range(num_valid):
+        mag = np.sum(temporal[:, j] * temporal[:, j]) / ns
+        if mag > 0:
+            temporal[:, j] = temporal[:, j] * np.sqrt(max(energy[j], 0.0) / mag)
+    return energy, temporal, num_valid, num_modes_trunc
+
+
 def snapshot_pod(
     A: jax.Array,
     num_modes_trunc: int,
@@ -163,20 +185,8 @@ def snapshot_pod(
     """
     ns = A.shape[1]
     C = gram_matrix(A, cell_weights) if gram is None else gram
-    energy, vecs = eigh_desc(C)
-    energy, vecs = sort_eigenvalues_desc(energy, vecs)
-
-    num_valid = count_valid_modes(energy, tol_cn)
-    if num_modes_trunc < 0 or num_modes_trunc > num_valid:
-        num_modes_trunc = num_valid
-
-    # Temporal-mode scaling (PODFS.py:1322-1325): scale each valid column so
-    # its mean square equals its eigenvalue.
-    temporal = vecs.copy()
-    for j in range(num_valid):
-        mag = np.sum(temporal[:, j] * temporal[:, j]) / ns
-        if mag > 0:
-            temporal[:, j] = temporal[:, j] * np.sqrt(max(energy[j], 0.0) / mag)
+    energy, temporal, num_valid, num_modes_trunc = temporal_from_gram(
+        C, ns, num_modes_trunc, tol_cn)
 
     T_scaled = jnp.asarray(temporal[:, :num_modes_trunc], dtype=A.dtype)
     lam = jnp.asarray(energy[:num_modes_trunc], dtype=A.dtype)

@@ -101,17 +101,18 @@ def _pack_snapshots(colored: jax.Array) -> jax.Array:
     return jnp.transpose(colored, (0, 2, 3, 1)).reshape(c * jma * kma, ns)
 
 
-def generate_snapshot_matrix(
+def make_generator(
     cfg: PipelineConfig,
     fields: prof.PlaneStressFields,
     filt,
-    t0: int = 0,
     nsteps: Optional[int] = None,
     rotate: bool = True,
-) -> jax.Array:
-    """The full generation hot path as one jitted computation:
-    noise -> spatial filter -> temporal FIR -> Lund -> pack -> rotate.
-    """
+):
+    """Build a block generator ``gen(t0) -> (3*Np, nsteps)`` with the start
+    step ``t0`` as a *dynamic* jit argument — every window of the noise
+    stream shares ONE compiled executable.  This is what makes the
+    out-of-core streaming POD's O(B^2) block regenerations cheap
+    (streaming.py) and checkpoint/resume block loops compile-free."""
     nsteps = cfg.nsteps if nsteps is None else nsteps
     dtype = jnp.dtype(cfg.dtype)
     key = jax.random.key(cfg.seed)
@@ -123,7 +124,7 @@ def generate_snapshot_matrix(
     # Stress/mean fields are jit *arguments*, not closure constants — large
     # HLO literals hit a pathologically slow remote-compile path on TPU.
     @jax.jit
-    def gen(key, stresses, means):
+    def gen(t0, key, stresses, means):
         if cfg.use_pallas:
             from pods_digital_filter_tpu.ops import pallas_filter
 
@@ -149,7 +150,21 @@ def generate_snapshot_matrix(
             A = rotation.rotate_velocity_packed(A, *p.normal)
         return A
 
-    return gen(key, stresses, means)
+    return lambda t0: gen(jnp.asarray(t0, jnp.int32), key, stresses, means)
+
+
+def generate_snapshot_matrix(
+    cfg: PipelineConfig,
+    fields: prof.PlaneStressFields,
+    filt,
+    t0: int = 0,
+    nsteps: Optional[int] = None,
+    rotate: bool = True,
+) -> jax.Array:
+    """The full generation hot path as one jitted computation:
+    noise -> spatial filter -> temporal FIR -> Lund -> pack -> rotate.
+    """
+    return make_generator(cfg, fields, filt, nsteps=nsteps, rotate=rotate)(t0)
 
 
 def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineResult:
@@ -165,6 +180,10 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
     outdir = cfg.outdir
     if write_outputs:
         os.makedirs(outdir, exist_ok=True)
+
+    if cfg.streaming_block:
+        return _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom,
+                                       timer, files, write_outputs)
 
     with timer.stage("generate"):
         if cfg.checkpoint_dir != "none":
@@ -199,36 +218,79 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
 
     if write_outputs:
         with timer.stage("export"):
-            files.append(prf_io.write_eigenvalues(outdir, pr.num_valid, pr.energy))
-            files.append(prf_io.write_mean_prf(outdir, mean_host, geom, cfg.plane.normal))
-            # the reference always writes the mean-field VTK on the POD main
-            # path (PODFS.py:1341) and the per-mode VTKs under verbose
-            # (PODFS.py:1356-1362)
-            files.append(vtk_io.write_mean_field_vtk(outdir, mean_host, geom))
-            if cfg.verbose:
-                files.extend(vtk_io.write_spatial_modes_vtk(
-                    outdir, pr.spatial_modes, geom, pr.num_trunc))
-            files.append(prf_io.write_podfs_dat(outdir, fr))
-            for i in range(pr.num_trunc):
-                files.append(prf_io.write_mode_prf(
-                    outdir, i + 1, pr.spatial_modes[:, i], geom, cfg.plane.normal))
-            if cfg.verbose:
-                files.extend(prf_io.write_temporal_modes(
-                    outdir, pr.num_valid, dt, pr.temporal_modes))
-                try:
-                    from pods_digital_filter_tpu.diagnostics import plots
-
-                    plots.pod_diagnostics(outdir, pr, fr, dt)
-                except Exception as e:  # diagnostics never fail the run
-                    print("diagnostics skipped:", e)
-            if cfg.hdf5:
-                files.append(hdf5_io.write_hdf5(
-                    outdir, pr.num_trunc, fr.period, fr.counts,
-                    fr.packed_fc(), geom.cell_centers, mean_host,
-                    pr.spatial_modes))
+            _export_model(cfg, geom, pr, fr, mean_host, dt, files)
 
     return PipelineResult(
         config=cfg, dt=dt, geometry=geom,
         A=np.asarray(Ac), mean_field=mean_host,
+        pod=pr, fourier=fr, files=files, timer=timer,
+    )
+
+
+def _export_model(cfg, geom, pr, fr, mean_host, dt, files):
+    """Model export shared by the in-memory and streaming paths."""
+    outdir = cfg.outdir
+    files.append(prf_io.write_eigenvalues(outdir, pr.num_valid, pr.energy))
+    files.append(prf_io.write_mean_prf(outdir, mean_host, geom, cfg.plane.normal))
+    # the reference always writes the mean-field VTK on the POD main
+    # path (PODFS.py:1341) and the per-mode VTKs under verbose
+    # (PODFS.py:1356-1362)
+    files.append(vtk_io.write_mean_field_vtk(outdir, mean_host, geom))
+    if cfg.verbose:
+        files.extend(vtk_io.write_spatial_modes_vtk(
+            outdir, pr.spatial_modes, geom, pr.num_trunc))
+    files.append(prf_io.write_podfs_dat(outdir, fr))
+    for i in range(pr.num_trunc):
+        files.append(prf_io.write_mode_prf(
+            outdir, i + 1, pr.spatial_modes[:, i], geom, cfg.plane.normal))
+    if cfg.verbose:
+        files.extend(prf_io.write_temporal_modes(
+            outdir, pr.num_valid, dt, pr.temporal_modes))
+        try:
+            from pods_digital_filter_tpu.diagnostics import plots
+
+            plots.pod_diagnostics(outdir, pr, fr, dt)
+        except Exception as e:  # diagnostics never fail the run
+            print("diagnostics skipped:", e)
+    if cfg.hdf5:
+        files.append(hdf5_io.write_hdf5(
+            outdir, pr.num_trunc, fr.period, fr.counts,
+            fr.packed_fc(), geom.cell_centers, mean_host,
+            pr.spatial_modes))
+    return files
+
+
+def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,
+                            files, write_outputs):
+    """Out-of-core variant of the pipeline tail: the snapshot matrix is
+    never materialized — POD runs over regenerated blocks (streaming.py).
+    ``PipelineResult.A`` is an empty (3*Np, 0) placeholder."""
+    from pods_digital_filter_tpu import streaming
+
+    with timer.stage("streaming_pod"):
+        sp = streaming.streaming_pod(
+            cfg, fields, filt, rotate=rotate, block=cfg.streaming_block,
+            num_modes_trunc=cfg.podfs.num_modes, tol_cn=cfg.podfs.tol_cn,
+            verbose=cfg.verbose)
+    pr = sp.pod
+    mean_host = sp.mean_field
+
+    if cfg.verbose and write_outputs:
+        with timer.stage("write_snapshots"):
+            files.extend(streaming.write_snapshots_streaming(
+                cfg, fields, filt, geom, dt, rotate=rotate,
+                block=cfg.streaming_block))
+
+    with timer.stage("fourier"):
+        fr = fourier.fourier_compress(
+            pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
+
+    if write_outputs:
+        with timer.stage("export"):
+            _export_model(cfg, geom, pr, fr, mean_host, dt, files)
+
+    return PipelineResult(
+        config=cfg, dt=dt, geometry=geom,
+        A=np.zeros((mean_host.shape[0], 0)), mean_field=mean_host,
         pod=pr, fourier=fr, files=files, timer=timer,
     )

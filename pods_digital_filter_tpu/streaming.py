@@ -1,0 +1,184 @@
+"""Out-of-core snapshot POD by deterministic regeneration.
+
+The reference holds the full snapshot matrix ``A (3*Np, Ns)`` in memory
+(digitalfilters.py:1397, PODFS.py:1451-1464); at the large-scale target
+configuration (1024x512 plane, 10k snapshots) that is ~60 GB — beyond one
+chip's HBM.  Because this framework's generation is *stateless and
+counter-indexed* (every snapshot block ``[t0, t0+nb)`` is a pure function of
+``(seed, t0)`` — ops/filters.py, ops/pallas_filter.py), A never needs to be
+stored: it can be *regenerated* block by block, which is classic
+rematerialization — trade FLOPs (the generator runs at ~3e9 samples/s/chip)
+for memory.
+
+Three streamed passes, holding at most two ``(3*Np, block)`` panels in HBM:
+
+1. column sums  ->  mean field ``m``;
+2. pairwise block GEMMs ``A_i^T A_j``  ->  raw Gram; centered via
+   ``(a-m).(b-m) = a.b - g[t1] - g[t2] + m.m`` with ``g = A^T m``
+   accumulated in the same pass;
+3. spatial-mode projection ``Phi = sum_b (A_b - m 1^T) M_b`` with
+   ``M = T_scaled diag(1/lambda) / Ns`` (PODFS.py:1329-1333).
+
+The eigen half (host/device eigh, NaN-robust sort, condition-number valid
+count, reference temporal-mode scaling) is shared with the in-memory path
+(ops/pod.py:temporal_from_gram), so for configurations that fit in memory
+the two paths agree to floating-point tolerance (tests/test_streaming.py).
+
+Regeneration count is O(B^2) block generations for B = ceil(Ns/block);
+pick ``block`` as large as HBM allows (2 panels + the Gram tile).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pods_digital_filter_tpu.ops import pod as pod_ops
+from pods_digital_filter_tpu.pipeline import make_generator
+
+
+@dataclass
+class StreamingPODResult:
+    mean_field: np.ndarray      # (3*Np,)
+    pod: pod_ops.PODResult
+    num_blocks: int
+    block: int
+
+
+def _block_starts(ns: int, block: int):
+    return list(range(0, ns, block))
+
+
+@jax.jit
+def _colsum(A):
+    return jnp.sum(A, axis=1)
+
+
+@jax.jit
+def _pair_products(Ai, Aj, m):
+    """Raw block products for the Gram pass: (Ai^T Aj, Aj^T m)."""
+    return (jnp.dot(Ai.T, Aj, preferred_element_type=Ai.dtype),
+            jnp.dot(Aj.T, m, preferred_element_type=Ai.dtype))
+
+
+@jax.jit
+def _project_block(phi, A, M, m):
+    """phi += (A - m 1^T) @ M  ==  A @ M - m * colsum(M)."""
+    return phi + jnp.dot(A, M, preferred_element_type=phi.dtype) \
+        - jnp.outer(m, jnp.sum(M, axis=0))
+
+
+def streaming_pod(
+    cfg,
+    fields,
+    filt,
+    rotate: bool = True,
+    block: int = 512,
+    num_modes_trunc: int | None = None,
+    tol_cn: float = 1.0e-15,
+    verbose: bool = False,
+) -> StreamingPODResult:
+    """Snapshot POD of the full ``cfg.nsteps`` generation run without ever
+    materializing the snapshot matrix.
+
+    ``cfg/fields/filt`` are exactly the arguments of
+    :func:`pipeline.generate_snapshot_matrix`; blocks are regenerated with
+    the same counters, so the result matches the in-memory pipeline.
+    """
+    ns = cfg.nsteps
+    block = min(block, ns)
+    starts = _block_starts(ns, block)
+    nb = len(starts)
+    if num_modes_trunc is None:
+        num_modes_trunc = cfg.podfs.num_modes
+
+    # one compiled executable for every block (t0 is a dynamic argument);
+    # the ragged final block generates a full window and keeps the first
+    # ns-t0 columns (identical values — the stream is counter-indexed)
+    gen_block = make_generator(cfg, fields, filt, nsteps=block, rotate=rotate)
+
+    def gen(t0):
+        A = gen_block(t0)
+        n = min(block, ns - t0)
+        return A[:, :n] if n < block else A
+
+    # ---- pass 1: mean --------------------------------------------------
+    s = None
+    for t0 in starts:
+        cs = _colsum(gen(t0))
+        s = cs if s is None else s + cs
+    m = s / ns                                   # (3*Np,) device
+    if verbose:
+        print(f"streaming POD: mean pass done ({nb} blocks of {block})")
+
+    # ---- pass 2: Gram --------------------------------------------------
+    C_raw = np.zeros((ns, ns), dtype=np.float64)
+    g = np.zeros(ns, dtype=np.float64)
+    for bi, ti in enumerate(starts):
+        Ai = gen(ti)
+        ni = Ai.shape[1]
+        for tj in starts[bi:]:
+            Aj = Ai if tj == ti else gen(tj)
+            nj = Aj.shape[1]
+            Cij, gj = _pair_products(Ai, Aj, m)
+            C_raw[ti:ti + ni, tj:tj + nj] = np.asarray(Cij, dtype=np.float64)
+            if tj == ti:
+                g[tj:tj + nj] = np.asarray(gj, dtype=np.float64)
+        if verbose:
+            print(f"streaming POD: gram row {bi + 1}/{nb}")
+    iu = np.triu_indices(ns, 1)
+    C_raw[(iu[1], iu[0])] = C_raw[iu]            # mirror upper -> lower
+    mm = float(jnp.dot(m, m))
+    C = (C_raw - g[:, None] - g[None, :] + mm) / ns
+
+    # ---- eigen half (shared with the in-memory path) -------------------
+    energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
+        C, ns, num_modes_trunc, tol_cn)
+
+    # ---- pass 3: spatial modes -----------------------------------------
+    dtype = m.dtype
+    Mfull = (temporal[:, :num_trunc]
+             * (1.0 / energy[:num_trunc])[None, :]) / ns
+    phi = jnp.zeros((m.shape[0], num_trunc), dtype=dtype)
+    for t0 in starts:
+        A = gen(t0)
+        Mb = jnp.asarray(Mfull[t0:t0 + A.shape[1]], dtype=dtype)
+        phi = _project_block(phi, A, Mb, m)
+    if verbose:
+        print("streaming POD: projection pass done")
+
+    pr = pod_ops.PODResult(
+        energy=energy,
+        temporal_modes=temporal,
+        spatial_modes=np.asarray(phi),
+        num_valid=num_valid,
+        num_trunc=num_trunc,
+    )
+    return StreamingPODResult(
+        mean_field=np.asarray(m, dtype=np.float64), pod=pr,
+        num_blocks=nb, block=block,
+    )
+
+
+def write_snapshots_streaming(cfg, fields, filt, geom, dt: float,
+                              rotate: bool = True, block: int = 512):
+    """Verbose-mode per-step ``.prf`` snapshot export without holding A —
+    regenerates blocks and writes columns as they appear."""
+    import numpy as _np
+
+    from pods_digital_filter_tpu.io import prf as prf_io
+
+    block = min(block, cfg.nsteps)
+    gen_block = make_generator(cfg, fields, filt, nsteps=block, rotate=rotate)
+    paths = []
+    for t0 in _block_starts(cfg.nsteps, block):
+        A = _np.asarray(gen_block(t0), dtype=_np.float64)
+        A = A[:, :min(block, cfg.nsteps - t0)]
+        for i in range(A.shape[1]):
+            paths.append(prf_io.write_snapshot_prf(
+                cfg.outdir, (t0 + i) * dt, A[:, i], geom,
+                cfg.plane.normal, cfg.plane.origin))
+    return paths
