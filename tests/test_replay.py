@@ -99,3 +99,30 @@ def test_replay_periodicity(model_run):
     rp = replay.Replayer(replay.load_prf(cfg.outdir))
     t = 0.37 * rp.model.period
     np.testing.assert_allclose(rp(t), rp(t + rp.model.period), atol=1e-8)
+
+
+def test_replay_cli(model_run, tmp_path, monkeypatch):
+    from pods_digital_filter_tpu import replay as replay_mod
+
+    cfg, _ = model_run
+    out_prf = str(tmp_path / "rp")
+    rc = replay_mod.main([cfg.outdir, "-n", "3", "--outdir", out_prf])
+    assert rc == 0
+    import os
+    prfs = [p for p in os.listdir(out_prf) if p.endswith(".prf")]
+    assert len(prfs) == 3
+
+    out_npy = str(tmp_path / "rpn")
+    rc = replay_mod.main([os.path.join(cfg.outdir, "PODFS.hdf5"),
+                          "-n", "4", "--format", "npy", "--outdir", out_npy])
+    assert rc == 0
+    f = np.load(os.path.join(out_npy, "fields.npy"))
+    t = np.load(os.path.join(out_npy, "times.npy"))
+    assert f.shape[0] == t.shape[0] == 4
+    assert f.shape[2] == 3
+
+    # CLI .prf output replays to the same values as the API
+    rp = replay_mod.Replayer(replay_mod.load_prf(cfg.outdir))
+    pts, u0 = replay_mod.read_field_prf(
+        os.path.join(out_prf, sorted(prfs)[0]))
+    np.testing.assert_allclose(u0, rp(0.0), atol=1e-11)
