@@ -185,6 +185,10 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         return _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom,
                                        timer, files, write_outputs)
 
+    if cfg.shard_time * cfg.shard_space > 1:
+        return _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom,
+                                     timer, files, write_outputs)
+
     with timer.stage("generate"):
         if cfg.checkpoint_dir != "none":
             from pods_digital_filter_tpu.utils.checkpoint import (
@@ -258,6 +262,70 @@ def _export_model(cfg, geom, pr, fr, mean_host, dt, files):
             fr.packed_fc(), geom.cell_centers, mean_host,
             pr.spatial_modes))
     return files
+
+
+def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
+                          files, write_outputs):
+    """Mesh-sharded pipeline tail: generation over the ('t','s') device mesh
+    (exact counter-indexed path — equals the serial result up to contraction
+    rounding) and the distributed POD of parallel/pod.py (Gram reduced with
+    psum over plane tiles).  Used when --shard_time/--shard_space request a
+    multi-device run."""
+    from pods_digital_filter_tpu.parallel import mesh as mesh_lib
+    from pods_digital_filter_tpu.parallel import pod as dist_pod
+    from pods_digital_filter_tpu.parallel import sharding as shard_lib
+
+    mesh = mesh_lib.make_mesh(cfg.shard_time, cfg.shard_space)
+    p = cfg.plane
+    dtype = jnp.dtype(cfg.dtype)
+    stresses = tuple(jnp.asarray(s, dtype=dtype) for s in fields.stresses())
+    means = tuple(jnp.asarray(m, dtype=dtype) for m in fields.means())
+
+    with timer.stage("generate_sharded"):
+        key = jax.random.key(cfg.seed)
+        noise = shard_lib.generate_sharded(
+            key, mesh, 0, cfg.nsteps, p.jma, p.kma,
+            filt.nfx, filt.nfy, filt.nfz,
+            filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
+            num_components=3, dtype=dtype)
+        X = lund.apply_lund_stacked(noise, stresses, means)
+        if rotate:
+            X = rotation.rotate_velocity_fields(X, *p.normal)
+        X.block_until_ready()
+
+    with timer.stage("pod"):
+        dp = dist_pod.distributed_pod(X, mesh, cfg.podfs.num_modes,
+                                      cfg.podfs.tol_cn)
+    pr = pod.PODResult(
+        energy=dp.energy, temporal_modes=dp.temporal_modes,
+        spatial_modes=dp.spatial_modes_packed(),
+        num_valid=dp.num_valid, num_trunc=dp.num_trunc)
+    mean_host = np.asarray(dp.mean_packed(), dtype=np.float64)
+
+    if cfg.verbose and write_outputs:
+        with timer.stage("write_snapshots"):
+            A_host = np.asarray(
+                shard_lib.pack_sharded_snapshots(X, mesh), dtype=np.float64)
+            for i in range(cfg.nsteps):
+                files.append(prf_io.write_snapshot_prf(
+                    cfg.outdir, i * dt, A_host[:, i], geom,
+                    cfg.plane.normal, cfg.plane.origin))
+
+    with timer.stage("fourier"):
+        fr = fourier.fourier_compress(
+            pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
+
+    if write_outputs:
+        with timer.stage("export"):
+            _export_model(cfg, geom, pr, fr, mean_host, dt, files)
+
+    Ac = np.asarray(shard_lib.pack_sharded_snapshots(X, mesh),
+                    dtype=np.float64) - mean_host[:, None]
+    return PipelineResult(
+        config=cfg, dt=dt, geometry=geom,
+        A=Ac, mean_field=mean_host,
+        pod=pr, fourier=fr, files=files, timer=timer,
+    )
 
 
 def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,

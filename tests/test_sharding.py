@@ -110,3 +110,40 @@ def test_distributed_gram():
     C = np.asarray(sharding.distributed_gram(A, 16))
     Ah = np.asarray(A)
     np.testing.assert_allclose(C, Ah.T @ Ah / 16, rtol=1e-10)
+
+
+def test_sharded_pipeline_matches_serial(tmp_path):
+    """--shard_time/--shard_space pipeline == serial pipeline (exact
+    counter-indexed path) on an 8-device CPU mesh, end to end through the
+    written PODFS model."""
+    import numpy as np
+    import pytest
+
+    from pods_digital_filter_tpu import replay
+    from pods_digital_filter_tpu.config import (
+        FilterConfig, PipelineConfig, PlaneConfig, PODFSConfig)
+    from pods_digital_filter_tpu.pipeline import run_pipeline
+
+    def mk(outdir, **kw):
+        return PipelineConfig(
+            plane=PlaneConfig(jma=10, kma=8, res=0.1),
+            filt=FilterConfig(length_scale_x=2.0, length_scale_y=2.0,
+                              length_scale_z=2.0, fwidth=2.0),
+            podfs=PODFSConfig(num_modes=4, energy_target=1.0),
+            nsteps=8, outdir=str(tmp_path / outdir), dtype="float64",
+            **kw)
+
+    rs = run_pipeline(mk("serial"))
+    rp = run_pipeline(mk("sharded", shard_time=2, shard_space=4))
+
+    np.testing.assert_allclose(rp.mean_field, rs.mean_field, atol=1e-12)
+    np.testing.assert_allclose(rp.A, rs.A, atol=1e-11)
+    nv = min(rp.pod.num_valid, rs.pod.num_valid)
+    np.testing.assert_allclose(rp.pod.energy[:nv], rs.pod.energy[:nv],
+                               rtol=1e-8, atol=1e-13)
+    # replayed models agree (sign-invariant end-to-end check)
+    m_s = replay.Replayer(replay.load_prf(str(tmp_path / "serial")))
+    m_p = replay.Replayer(replay.load_prf(str(tmp_path / "sharded")))
+    assert m_s.model.period == pytest.approx(m_p.model.period)
+    ts = np.linspace(0.0, m_s.model.period, 5)
+    np.testing.assert_allclose(m_p.batch(ts), m_s.batch(ts), atol=1e-7)
