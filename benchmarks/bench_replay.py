@@ -1,0 +1,133 @@
+"""Benchmark: solver-side PODFS replay throughput vs per-step snapshot loading.
+
+The reference's only published performance claim is that a CFD solver using
+the PODFS inlet model runs ~2.5x faster than one loading a snapshot file
+every timestep (docs/usage/CFDCodeIntegration.rst:5).  This benchmark
+measures that trade directly for this framework's replay module:
+
+* replay path: ``replay.Replayer.batch`` — the jitted batched evaluation of
+  the PODFS reconstruction equation (CFDCodeIntegration.rst:87-91), i.e.
+  per-mode Fourier synthesis + one (Nt, nm) @ (nm, 3*Np) GEMM — measured
+  as inlet points x steps per second;
+* file path: reading one ``.prf`` snapshot per step, timed for both
+  ``np.loadtxt`` (what a Python solver shim would use) and this
+  framework's native C parser (``native.parse_tables``, threaded, GIL-free).
+
+Model size mirrors BASELINE.json config 3: 256x128 plane, 50 modes,
+21 Fourier coefficients per mode.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where vs_baseline is replay throughput over the *fastest* file-loading path
+(so the number is conservative).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NPTS = 256 * 128
+NM = 50
+KMAX = 21
+NSTEPS = 512          # replay timesteps per timed batch
+NFILES = 8            # snapshot files for the loading baseline
+
+
+def make_model():
+    from pods_digital_filter_tpu.replay import PODFSModel
+
+    rng = np.random.RandomState(3)
+    k = np.tile(np.arange(KMAX) - KMAX // 2, (NM, 1)).astype(np.float64)
+    return PODFSModel(
+        points=rng.standard_normal((NPTS, 3)),
+        mean=rng.standard_normal(3 * NPTS),
+        modes=rng.standard_normal((NM, 3 * NPTS)),
+        period=1.0,
+        k=k,
+        c_re=rng.standard_normal((NM, KMAX)) / (1.0 + np.abs(k)),
+        c_im=rng.standard_normal((NM, KMAX)) / (1.0 + np.abs(k)),
+        counts=np.full(NM, KMAX, dtype=np.int64),
+    )
+
+
+def bench_replay(model):
+    from pods_digital_filter_tpu.replay import Replayer
+
+    rp = Replayer(model)
+    ts = np.linspace(0.0, 0.9, NSTEPS)
+    rp.batch(ts)  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = rp.batch(ts)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
+    return NPTS * NSTEPS / dt, dt, out
+
+
+def bench_file_loading(model, tmpdir):
+    """Write NFILES snapshot .prf files, then time loading them back —
+    np.loadtxt and the native threaded parser."""
+    from pods_digital_filter_tpu import native
+    from pods_digital_filter_tpu.io.plane import PlaneGeometry
+    from pods_digital_filter_tpu.io.prf import write_snapshot_prf
+
+    geom = PlaneGeometry(cell_centers=model.points,
+                         point_coords=model.points)
+    rng = np.random.RandomState(5)
+    paths = [
+        write_snapshot_prf(tmpdir, 1.0e-3 * (i + 1),
+                           rng.standard_normal(3 * NPTS), geom,
+                           (1.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+        for i in range(NFILES)
+    ]
+
+    t0 = time.perf_counter()
+    for p in paths:
+        np.loadtxt(p, skiprows=11, delimiter=",")
+    loadtxt_rate = NPTS * NFILES / (time.perf_counter() - t0)
+
+    native_rate = 0.0
+    t0 = time.perf_counter()
+    tabs = native.parse_tables(paths)
+    if tabs is not None and all(t is not None for t in tabs):
+        native_rate = NPTS * NFILES / (time.perf_counter() - t0)
+    return loadtxt_rate, native_rate
+
+
+def main():
+    model = make_model()
+    replay_rate, step_dt, _ = bench_replay(model)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        loadtxt_rate, native_rate = bench_file_loading(model, tmpdir)
+
+    best_file_rate = max(loadtxt_rate, native_rate)
+    result = {
+        "metric": "PODFS replay throughput (inlet points*steps/s)",
+        "value": round(replay_rate, 1),
+        "unit": "points*steps/s",
+        "vs_baseline": round(replay_rate / best_file_rate, 1),
+        "detail": {
+            "config": f"{NPTS} points, {NM} modes, {KMAX} FCs/mode, "
+                      f"{NSTEPS} steps/batch",
+            "batch_wall_s": round(step_dt, 5),
+            "snapshot_loadtxt_rate": round(loadtxt_rate, 1),
+            "snapshot_native_parser_rate": round(native_rate, 1),
+            "reference_claim": "PODFS inlet ~2.5x faster than per-step "
+                               "snapshot loading (CFDCodeIntegration.rst:5)",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
