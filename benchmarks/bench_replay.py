@@ -77,11 +77,11 @@ def bench_file_loading(model, tmpdir):
     """Write NFILES snapshot .prf files, then time loading them back —
     np.loadtxt and the native threaded parser."""
     from pods_digital_filter_tpu import native
-    from pods_digital_filter_tpu.io.plane import PlaneGeometry
+    from pods_digital_filter_tpu.config import PlaneConfig
+    from pods_digital_filter_tpu.io.plane import make_inflow_plane
     from pods_digital_filter_tpu.io.prf import write_snapshot_prf
 
-    geom = PlaneGeometry(cell_centers=model.points,
-                         point_coords=model.points)
+    geom = make_inflow_plane(PlaneConfig(jma=256, kma=128, res=0.01))
     rng = np.random.RandomState(5)
     paths = [
         write_snapshot_prf(tmpdir, 1.0e-3 * (i + 1),
