@@ -218,14 +218,22 @@ class Replayer:
         self._jit = jax.jit(partial(_eval_kernel, period=self._period))
         self._dtype = dtype
 
-    def batch(self, ts, alpha: float = 1.0) -> np.ndarray:
-        """Evaluate at a batch of times -> (Nt, Np, 3)."""
+    def batch_device(self, ts, alpha: float = 1.0):
+        """Evaluate at a batch of times -> packed device array (Nt, 3*Np).
+
+        Stays on the accelerator (no host copy) — for consumers that keep
+        working on-device (a JAX-based solver, chained diagnostics) each
+        packed row is the snapshot-matrix layout [u-block; v-block; w-block].
+        """
         import jax.numpy as jnp
 
         ts = jnp.atleast_1d(jnp.asarray(ts, dtype=self._dtype))
-        packed = self._jit(ts, self._k, self._c_re, self._c_im,
-                           self._modes, self._mean, alpha=alpha)
-        out = np.asarray(packed)
+        return self._jit(ts, self._k, self._c_re, self._c_im,
+                         self._modes, self._mean, alpha=alpha)
+
+    def batch(self, ts, alpha: float = 1.0) -> np.ndarray:
+        """Evaluate at a batch of times -> (Nt, Np, 3) on host."""
+        out = np.asarray(self.batch_device(ts, alpha=alpha))
         npts = self.model.num_points
         # each packed row is [u-block, v-block, w-block] -> (Np, 3)
         return out.reshape(out.shape[0], 3, npts).transpose(0, 2, 1)
