@@ -35,19 +35,22 @@ def _build_dirs():
                        f"pods_digital_filter_tpu_native_{os.getuid()}")
 
 
-def _compile() -> str | None:
+def _compile_src(src: str, libname: str) -> str | None:
+    """Compile one C source into ``<build dir>/<libname>`` (cached on source
+    mtime); returns the library path or None if no compiler succeeds."""
     for cc in ("cc", "gcc", "clang"):
         for bdir in _build_dirs():
             try:
                 os.makedirs(bdir, exist_ok=True)
-                out = os.path.join(bdir, "libfastio.so")
-                src_m = os.path.getmtime(_SRC)
+                out = os.path.join(bdir, libname)
+                src_m = os.path.getmtime(src)
                 if os.path.exists(out) and os.path.getmtime(out) >= src_m:
                     return out
                 tmp = out + f".tmp{os.getpid()}"
-                base = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"]
+                base = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, src, "-lm"]
                 try:
-                    # OpenMP parallelizes parse_table within large files
+                    # OpenMP parallelizes within-file work (parse_table
+                    # chunks, podfs_eval_batch timesteps)
                     subprocess.run(base + ["-fopenmp"], check=True,
                                    capture_output=True, timeout=120)
                 except subprocess.SubprocessError:
@@ -58,6 +61,10 @@ def _compile() -> str | None:
             except (OSError, subprocess.SubprocessError):
                 continue
     return None
+
+
+def _compile() -> str | None:
+    return _compile_src(_SRC, "libfastio.so")
 
 
 def _load():
@@ -174,3 +181,120 @@ def parse_tables(paths, max_workers: int | None = None):
         max_workers = min(32, (os.cpu_count() or 4), max(1, len(paths)))
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(ex.map(parse_table, paths))
+
+
+# ---------------------------------------------------------------------------
+# podfs_replay.c — solver-side C replay library (see native/podfs_replay.h)
+# ---------------------------------------------------------------------------
+
+_REPLAY_SRC = os.path.join(os.path.dirname(__file__), "podfs_replay.c")
+_REPLAY_LIB = None
+_REPLAY_TRIED = False
+
+
+def _load_replay():
+    global _REPLAY_LIB, _REPLAY_TRIED
+    with _LOCK:
+        if _REPLAY_TRIED:
+            return _REPLAY_LIB
+        _REPLAY_TRIED = True
+        path = _compile_src(_REPLAY_SRC, "libpodfs_replay.so")
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            lib.podfs_load.restype = ctypes.c_void_p
+            lib.podfs_load.argtypes = [ctypes.c_char_p]
+            lib.podfs_free.restype = None
+            lib.podfs_free.argtypes = [ctypes.c_void_p]
+            for name, res in (("podfs_num_points", ctypes.c_long),
+                              ("podfs_num_modes", ctypes.c_long),
+                              ("podfs_period", ctypes.c_double),
+                              ("podfs_points",
+                               ctypes.POINTER(ctypes.c_double))):
+                fn = getattr(lib, name)
+                fn.restype = res
+                fn.argtypes = [ctypes.c_void_p]
+            lib.podfs_eval.restype = ctypes.c_int
+            lib.podfs_eval.argtypes = [
+                ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double)]
+            lib.podfs_eval_batch.restype = ctypes.c_int
+            lib.podfs_eval_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+                ctypes.c_long, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double)]
+            _REPLAY_LIB = lib
+        except (OSError, AttributeError):
+            _REPLAY_LIB = None
+        return _REPLAY_LIB
+
+
+def podfs_replay_available() -> bool:
+    return _load_replay() is not None
+
+
+class NativePODFSReplayer:
+    """ctypes handle to the C solver-side replay library — the same code a
+    CFD solver links (native/podfs_replay.h), cross-validated against the
+    JAX :class:`pods_digital_filter_tpu.replay.Replayer` in tests.
+
+    Loads only the ``.prf`` model flavor (the dependency-free on-disk
+    format); raises ``RuntimeError`` if the library or the model cannot be
+    loaded.  Use as a context manager or call :meth:`close`.
+    """
+
+    def __init__(self, model_dir: str):
+        lib = _load_replay()
+        if lib is None:
+            raise RuntimeError("native podfs_replay library unavailable "
+                               "(no C compiler?)")
+        self._lib = lib
+        self._h = lib.podfs_load(os.fsencode(model_dir))
+        if not self._h:
+            raise RuntimeError(f"podfs_load failed for {model_dir!r}")
+        self.num_points = int(lib.podfs_num_points(self._h))
+        self.num_modes = int(lib.podfs_num_modes(self._h))
+        self.period = float(lib.podfs_period(self._h))
+        pts = lib.podfs_points(self._h)
+        self.points = np.ctypeslib.as_array(
+            pts, shape=(self.num_points, 3)).copy()
+
+    def eval(self, t: float, alpha: float = 1.0) -> np.ndarray:
+        """Velocity at one time -> (Np, 3)."""
+        out = np.empty((self.num_points, 3), dtype=np.float64)
+        rc = self._lib.podfs_eval(
+            self._h, float(t), float(alpha),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if rc != 0:
+            raise RuntimeError(f"podfs_eval failed (rc={rc})")
+        return out
+
+    def eval_batch(self, ts, alpha: float = 1.0) -> np.ndarray:
+        """Velocities at a batch of times -> (Nt, Np, 3)."""
+        ts = np.ascontiguousarray(ts, dtype=np.float64).ravel()
+        out = np.empty((ts.shape[0], self.num_points, 3), dtype=np.float64)
+        rc = self._lib.podfs_eval_batch(
+            self._h, ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ts.shape[0], float(alpha),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if rc != 0:
+            raise RuntimeError(f"podfs_eval_batch failed (rc={rc})")
+        return out
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.podfs_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -126,3 +126,37 @@ def test_replay_cli(model_run, tmp_path, monkeypatch):
     pts, u0 = replay_mod.read_field_prf(
         os.path.join(out_prf, sorted(prfs)[0]))
     np.testing.assert_allclose(u0, rp(0.0), atol=1e-11)
+
+
+def test_native_c_replayer_matches_jax(model_run):
+    """The linkable C solver library (native/podfs_replay.c) must agree with
+    the JAX Replayer to float64 round-off on the same model directory."""
+    from pods_digital_filter_tpu import native
+
+    if not native.podfs_replay_available():
+        pytest.skip("no C compiler available")
+    cfg, _ = model_run
+    rp = replay.Replayer(replay.load_prf(cfg.outdir))
+    with native.NativePODFSReplayer(cfg.outdir) as nrp:
+        assert nrp.num_points == rp.model.num_points
+        assert nrp.num_modes == rp.model.num_modes
+        assert nrp.period == pytest.approx(rp.model.period)
+        np.testing.assert_allclose(nrp.points, rp.model.points, atol=1e-11)
+
+        ts = np.array([0.0, 0.123, 0.5 * nrp.period, 0.999 * nrp.period])
+        u_c = nrp.eval_batch(ts)
+        u_j = rp.batch(ts)
+        np.testing.assert_allclose(u_c, u_j, atol=1e-9)
+
+        # single-time path + alpha semantics
+        np.testing.assert_allclose(nrp.eval(0.123, alpha=2.0),
+                                   rp(0.123, alpha=2.0), atol=1e-9)
+
+
+def test_native_c_replayer_bad_model(tmp_path):
+    from pods_digital_filter_tpu import native
+
+    if not native.podfs_replay_available():
+        pytest.skip("no C compiler available")
+    with pytest.raises(RuntimeError):
+        native.NativePODFSReplayer(str(tmp_path / "nonexistent"))
