@@ -140,11 +140,54 @@ def bench_file_loading(model, tmpdir):
     return loadtxt_rate, native_rate
 
 
+def bench_c_replay(tmpdir):
+    """Rate of the linkable C solver library (native/podfs_replay.c) on a
+    same-size model — what a non-Python solver gets on its own CPU."""
+    from pods_digital_filter_tpu import native
+
+    if not native.podfs_replay_available():
+        return 0.0
+    # write a synthetic model directory the C loader can read
+    import pods_digital_filter_tpu.io.prf as prf
+    from pods_digital_filter_tpu.config import PlaneConfig
+    from pods_digital_filter_tpu.io.plane import make_inflow_plane
+    from pods_digital_filter_tpu.ops.fourier import FourierResult
+
+    rng = np.random.RandomState(7)
+    geom = make_inflow_plane(PlaneConfig(jma=256, kma=128, res=0.01))
+    normal = (1.0, 0.0, 0.0)
+    prf.write_mean_prf(tmpdir, rng.standard_normal(3 * NPTS), geom, normal)
+    for i in range(NM):
+        prf.write_mode_prf(tmpdir, i + 1, rng.standard_normal(3 * NPTS),
+                           geom, normal)
+    coeffs = (rng.standard_normal((KMAX, NM))
+              + 1j * rng.standard_normal((KMAX, NM)))
+    fr = FourierResult(
+        period=1.0, coeffs=coeffs,
+        counts=np.full(NM, KMAX, dtype=np.int64),
+        order=np.tile(np.arange(KMAX), (NM, 1)),
+        reconstruction=np.zeros((KMAX, NM)))
+    prf.write_podfs_dat(tmpdir, fr)
+
+    nt = 64
+    ts = np.linspace(0.0, 0.9, nt)
+    with native.NativePODFSReplayer(tmpdir) as rp:
+        rp.eval_batch(ts)  # warmup (page in the model)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rp.eval_batch(ts)
+            times.append(time.perf_counter() - t0)
+    return NPTS * nt / sorted(times)[1]
+
+
 def main():
     model = make_model()
     dev_rate, host_rate, dev_dt = bench_replay(model)
     with tempfile.TemporaryDirectory() as tmpdir:
         loadtxt_rate, native_rate = bench_file_loading(model, tmpdir)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        c_rate = bench_c_replay(tmpdir)
 
     best_file_rate = max(loadtxt_rate, native_rate)
     result = {
@@ -162,6 +205,9 @@ def main():
                                   "magnitude faster",
             "snapshot_loadtxt_rate": round(loadtxt_rate, 1),
             "snapshot_native_parser_rate": round(native_rate, 1),
+            "c_library_rate": round(c_rate, 1),
+            "c_library_note": "linkable solver-side C replay "
+                              "(native/podfs_replay.c) on this host's CPU",
             "reference_claim": "PODFS inlet ~2.5x faster than per-step "
                                "snapshot loading (CFDCodeIntegration.rst:5)",
         },
