@@ -160,3 +160,28 @@ def test_native_c_replayer_bad_model(tmp_path):
         pytest.skip("no C compiler available")
     with pytest.raises(RuntimeError):
         native.NativePODFSReplayer(str(tmp_path / "nonexistent"))
+
+
+def test_native_c_replayer_ragged_counts(tmp_path):
+    """With et<1 the per-mode coefficient counts differ (ragged PODFS.dat);
+    the C loader's offset bookkeeping must still match the JAX evaluator."""
+    from pods_digital_filter_tpu import native
+
+    if not native.podfs_replay_available():
+        pytest.skip("no C compiler available")
+    out = tmp_path / "PODFS"
+    cfg = PipelineConfig(
+        plane=PlaneConfig(jma=8, kma=9, res=0.1),
+        filt=FilterConfig(length_scale_x=1.5, length_scale_y=1.5,
+                          length_scale_z=1.5, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=5, energy_target=0.85),
+        nsteps=16, outdir=str(out), dtype="float64",
+    )
+    run_pipeline(cfg)
+    rp = replay.Replayer(replay.load_prf(str(out)))
+    counts = rp.model.counts
+    assert len(set(counts.tolist())) > 1, "fixture should be ragged"
+    with native.NativePODFSReplayer(str(out)) as nrp:
+        ts = np.linspace(0.0, 1.7 * nrp.period, 7)
+        np.testing.assert_allclose(nrp.eval_batch(ts), rp.batch(ts),
+                                   atol=1e-9)
