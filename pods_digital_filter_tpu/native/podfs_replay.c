@@ -41,6 +41,15 @@
 #include <stdlib.h>
 #include <string.h>
 
+/* Model files use '.' decimals; strtod/strtol are LC_NUMERIC-dependent, and
+ * host solvers routinely call setlocale().  On POSIX, parse under a private
+ * C locale (uselocale) so loading works regardless of the host's locale;
+ * elsewhere the caller must keep LC_NUMERIC="C" (see podfs_replay.h). */
+#if !defined(_WIN32)
+#define PODFS_HAVE_USELOCALE 1
+#include <locale.h>
+#endif
+
 #ifndef M_PI
 #define M_PI 3.14159265358979323846
 #endif
@@ -134,6 +143,10 @@ static int parse_dat(podfs_model *m, const char *path)
         if (end == p) goto fail;
         p = end;
     }
+    /* reject trailing garbage: a truncated/corrupt control file must fail
+     * loudly rather than silently define a smaller model */
+    while (*p && isspace((unsigned char)*p)) p++;
+    if (*p) goto fail;
     free(buf);
     return 0;
 fail:
@@ -178,7 +191,10 @@ static long parse_prf(const char *path, long expect_np,
             p = end;
             while (*p == ',' || *p == ' ' || *p == '\t') p++;
         }
-        if (!ok) break;
+        /* a row that fails to parse is corruption, not end-of-data: blank
+         * lines/whitespace were already consumed above, so fail instead of
+         * silently shrinking the model to the rows parsed so far */
+        if (!ok) { free(buf); return -1; }
         if (expect_np >= 0 && rows >= expect_np) { free(buf); return -1; }
         if (points) memcpy(points + rows * 3, v, 3 * sizeof(double));
         if (u) memcpy(u + rows * 3, v + 3, 3 * sizeof(double));
@@ -199,7 +215,7 @@ void podfs_free(podfs_model *m)
     free(m);
 }
 
-podfs_model *podfs_load(const char *dir)
+static podfs_model *podfs_load_impl(const char *dir)
 {
     char path[4096];
     podfs_model *m = (podfs_model *)calloc(1, sizeof(podfs_model));
@@ -228,6 +244,23 @@ podfs_model *podfs_load(const char *dir)
             podfs_free(m); return NULL;
         }
     }
+    return m;
+}
+
+podfs_model *podfs_load(const char *dir)
+{
+    podfs_model *m;
+#ifdef PODFS_HAVE_USELOCALE
+    /* parse under a thread-private C numeric locale so a host solver's
+     * setlocale() (e.g. "de_DE" with ',' decimals) cannot break or alter
+     * parsing of the '.'-decimal model files */
+    locale_t c_loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+    locale_t old = c_loc ? uselocale(c_loc) : (locale_t)0;
+#endif
+    m = podfs_load_impl(dir);
+#ifdef PODFS_HAVE_USELOCALE
+    if (c_loc) { uselocale(old); freelocale(c_loc); }
+#endif
     return m;
 }
 
@@ -294,7 +327,15 @@ int podfs_eval_batch(const podfs_model *m, const double *ts, long nt,
         double bstack[256];
         double *b = m->nm <= 256 ? bstack
             : (double *)malloc(sizeof(double) * (size_t)m->nm);
-        if (!b) { err = -1; continue; }
+        if (!b) {
+            /* all failing threads store the same value, but make the
+             * concurrent store well-defined */
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+            err = -1;
+            continue;
+        }
         temporal_factors(m, ts[s], b);
         eval_one(m, b, alpha, out + s * m->np * 3);
         if (b != bstack) free(b);

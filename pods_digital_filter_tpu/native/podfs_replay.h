@@ -25,7 +25,11 @@ extern "C" {
 
 typedef struct podfs_model podfs_model;
 
-/* Load a model directory; NULL on any parse/IO failure. */
+/* Load a model directory; NULL on any parse/IO failure (including trailing
+ * garbage / truncated rows — corrupt files fail loudly, they never load as a
+ * smaller model).  On POSIX hosts parsing runs under a private C numeric
+ * locale, so a solver's setlocale() cannot affect it; on other platforms
+ * keep LC_NUMERIC="C" while calling podfs_load. */
 podfs_model *podfs_load(const char *dir);
 void podfs_free(podfs_model *m);
 

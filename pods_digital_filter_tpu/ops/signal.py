@@ -117,16 +117,75 @@ def mean(mat, dim: int = 0):
     return jnp.mean(mat)
 
 
+def _ring_index(axiseg: int, rseg: int, aziseg: int) -> np.ndarray:
+    """Point indices of every (axial, radial) ring in the reference's
+    structured polar ordering (nsigproclib:253-311): point 0 of each axial
+    block is the axis point, then rseg rings of aziseg consecutive points —
+    ``idx[jj, k, m] = 1 + jj*(rseg*aziseg + 1) + k*aziseg + m``."""
+    jj = np.arange(axiseg)[:, None, None]
+    k = np.arange(rseg)[None, :, None]
+    m = np.arange(aziseg)[None, None, :]
+    return 1 + jj * (rseg * aziseg + 1) + k * aziseg + m
+
+
+@jax.jit
+def _azimuthal_energies(u, theta):
+    """Batched trapezoid-DFT: ``u (P, jj, k, m)`` ring samples,
+    ``theta (jj, k, m)`` -> ``|trapz(u * exp(-1j n theta), theta)|^2`` of
+    shape (P, jj, k, n) for all n < aziseg.  The per-(n, sample) host loop of
+    the reference becomes two real MXU contractions (cos/sin), which also
+    sidesteps complex-transfer limits of the TPU tunnel backend."""
+    # trapezoid quadrature weights over the (nonuniform) theta samples:
+    # c_0 = (t1-t0)/2, c_last = (t_end - t_end-1)/2, else (t_m+1 - t_m-1)/2
+    dt = theta[..., 1:] - theta[..., :-1]
+    c = jnp.concatenate([
+        dt[..., :1] * 0.5,
+        (theta[..., 2:] - theta[..., :-2]) * 0.5,
+        dt[..., -1:] * 0.5,
+    ], axis=-1)                                       # (jj, k, m)
+    n = jnp.arange(theta.shape[-1], dtype=theta.dtype)
+    ph = n[:, None] * theta[..., None, :]             # (jj, k, n, m)
+    cu = c[..., None, :] * jnp.cos(ph)
+    su = c[..., None, :] * jnp.sin(ph)
+    re = jnp.einsum("pjkm,jknm->pjkn", u, cu)
+    im = -jnp.einsum("pjkm,jknm->pjkn", u, su)
+    return re * re + im * im
+
+
 def azimuthal_fourier_series(u, r, theta, x, nc: int, axiseg: int, rseg: int, aziseg: int):
     """Azimuthal mode energies on a structured polar mesh
     (reference nsigproclib:253-311, minus the VTK plumbing: fields are passed
-    as flat arrays in the reference's point ordering — index
-    ``1 + jj*(rseg*aziseg... )`` pattern replicated via reshape).
+    as flat arrays in the reference's point ordering).
 
     ``u``: (num_points, nc) components (the magnitude column is added here);
     returns ``(m_array, x_array, r_array)`` with
     ``m_array[i, jj, k, n] = |trapz(u_i * exp(-1j*n*theta), theta)|^2``.
+
+    TPU-native: the reference's four nested host loops (components x axial x
+    radial x mode, each calling np.trapz) are one gather + one batched
+    einsum contraction (:func:`_azimuthal_energies`); the loop version is
+    kept as the parity oracle (:func:`azimuthal_fourier_series_loop`,
+    tests/test_signal.py).
     """
+    u = np.asarray(u, dtype=np.float64).reshape(-1, nc)
+    if nc > 1:
+        mag = np.sqrt(np.sum(u ** 2, axis=1, keepdims=True))
+        u = np.concatenate([u, mag], axis=1)
+
+    idx = _ring_index(axiseg, rseg, aziseg)
+    theta_r = jnp.asarray(np.asarray(theta, dtype=np.float64)[idx])
+    u_r = jnp.asarray(u.T[:, idx])                    # (ncomp, jj, k, m)
+    m_array = np.zeros((nc + 1, axiseg, rseg, aziseg), dtype=np.float64)
+    m_array[:u_r.shape[0]] = np.asarray(_azimuthal_energies(u_r, theta_r))
+    x_array = np.asarray(x, dtype=np.float64)[idx[..., -1]]
+    r_array = np.asarray(r, dtype=np.float64)[idx[..., -1]]
+    return m_array, x_array, r_array
+
+
+def azimuthal_fourier_series_loop(u, r, theta, x, nc: int, axiseg: int,
+                                  rseg: int, aziseg: int):
+    """Reference-faithful host-loop implementation (nsigproclib:253-311) —
+    the parity oracle for :func:`azimuthal_fourier_series`."""
     u = np.asarray(u, dtype=np.float64).reshape(-1, nc)
     if nc > 1:
         mag = np.sqrt(np.sum(u ** 2, axis=1, keepdims=True))
@@ -135,8 +194,6 @@ def azimuthal_fourier_series(u, r, theta, x, nc: int, axiseg: int, rseg: int, az
     else:
         ncomp = nc
 
-    # The reference walks index1 = 1 + ring offsets: point 0 is the axis
-    # point; each (jj, k) ring holds aziseg consecutive points.
     m_array = np.zeros((nc + 1, axiseg, rseg, aziseg), dtype=np.float64)
     x_array = np.zeros((axiseg, rseg), dtype=np.float64)
     r_array = np.zeros((axiseg, rseg), dtype=np.float64)

@@ -197,3 +197,68 @@ def test_pipeline_with_prf(tmp_path):
     assert np.isfinite(res.A).all()
     assert res.config.plane.jma == 11
     assert os.path.exists(os.path.join(cfg.outdir, "PODFS.dat"))
+
+
+def test_read_prf_gradient_oracle(tmp_path):
+    """The reference's own verification mode (--test_gradients,
+    digitalfilters.py:1235-1237, 795-810): U,V,W are overridden with the
+    linear fields 1y+2z, 3y+4z, 5y+6z, so every gradient — and hence every
+    Boussinesq stress (digitalfilters.py:995-1009) — has an exact value."""
+    path = str(tmp_path / "inlet.prf")
+    _write_prf(path)
+    r = read_prf(path, res=0.1, test_gradients=True)
+
+    # returned fields are orient(a) = flip(a, 0).T of the (kma, jma) grids,
+    # so the eps==0 row (z index 0) lands in oriented column kma-1
+    y = np.flip(r.y_grid, 0).T
+    z = np.flip(r.z_grid, 0).T
+    np.testing.assert_allclose(r.U, 1 * y + 2 * z, atol=1e-12)
+    np.testing.assert_allclose(r.V, 3 * y + 4 * z, atol=1e-12)
+    np.testing.assert_allclose(r.W, 5 * y + 6 * z, atol=1e-12)
+
+    # exact gradients up to the reference's spacing quirk: the grid is built
+    # with linspace over jma points spanning res*jma (digitalfilters.py:
+    # 712-742) but np.gradient is called with spacing res, so each gradient
+    # carries a factor n/(n-1) for its axis
+    fy = r.jma / (r.jma - 1)
+    fz = r.kma / (r.kma - 1)
+    # dUdy=1fy dUdz=2fz dVdy=3fy dVdz=4fz dWdy=5fy dWdz=6fz;
+    # dUdx = -dVdy - dWdz; nu_t = 0.09*k^2/eps = 0.09 (k=eps=1)
+    interior = np.s_[:, :-1]     # all but the masked z=0 column
+    np.testing.assert_allclose(
+        r.uu[interior], 2 * 0.09 * (3 * fy + 6 * fz) + 2.0 / 3.0, atol=1e-10)
+    np.testing.assert_allclose(
+        r.vv[interior], -2 * 0.09 * 3 * fy + 2.0 / 3.0, atol=1e-10)
+    np.testing.assert_allclose(r.ww[interior], 0.0, atol=1e-10)   # clamped
+    np.testing.assert_allclose(r.uv[interior], -0.09 * fy, atol=1e-10)
+    np.testing.assert_allclose(r.uw[interior], -0.09 * 2.0 * fz, atol=1e-10)
+    np.testing.assert_allclose(
+        r.vw[interior], -0.09 * (4 * fz + 5 * fy), atol=1e-10)
+    # masked row: zero k and zeroed gradients -> zero stresses
+    np.testing.assert_allclose(r.uu[:, -1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(r.vw[:, -1], 0.0, atol=1e-12)
+
+
+def test_read_prf_massflow_rescale_correct(tmp_path):
+    """Scaled velocities must reproduce the target mass flow exactly
+    (digitalfilters.py:754-788): mdot = (mean U . n) * area * density with
+    area = res^2 * (kma-1) * (jma-1)."""
+    path = str(tmp_path / "inlet.prf")
+    _write_prf(path)
+    mdot, den, res = 3.5, 2.0, 0.1
+    r = read_prf(path, res=res, mdot=mdot, den=den)
+    area = res ** 2 * (r.kma - 1) * (r.jma - 1)
+    udotn = (r.U.mean() * r.normal[0] + r.V.mean() * r.normal[1]
+             + r.W.mean() * r.normal[2])
+    assert udotn * area * den == pytest.approx(mdot, rel=1e-9)
+
+    # k rescale semantics (digitalfilters.py:770-788): TI^2 = (2/3)k/|U|^2
+    # and k_new = TI^2 |U_new|^2, so the 2/3 is absorbed into k —
+    # k_new = (2/3) s^2 k (reference quirk, reproduced deliberately)
+    r0 = read_prf(path, res=res)
+    pos = (r0.eps > 0) & (r.eps > 0)
+    udotn0 = (r0.U.mean() * r0.normal[0] + r0.V.mean() * r0.normal[1]
+              + r0.W.mean() * r0.normal[2])
+    s = mdot / (udotn0 * area * den)
+    np.testing.assert_allclose(r.k[pos], (2.0 / 3.0) * s ** 2 * r0.k[pos],
+                               rtol=1e-9)

@@ -185,3 +185,44 @@ def test_native_c_replayer_ragged_counts(tmp_path):
         ts = np.linspace(0.0, 1.7 * nrp.period, 7)
         np.testing.assert_allclose(nrp.eval_batch(ts), rp.batch(ts),
                                    atol=1e-9)
+
+
+def test_native_c_replayer_rejects_corrupt_model(model_run, tmp_path):
+    """Truncated rows / trailing garbage must fail podfs_load loudly (NULL)
+    instead of silently defining a smaller model (advisor finding r1)."""
+    import shutil
+
+    from pods_digital_filter_tpu import native
+
+    if not native.podfs_replay_available():
+        pytest.skip("no C compiler available")
+    cfg, _ = model_run
+
+    # (a) mean profile with a truncated final row
+    bad = tmp_path / "trunc_mean"
+    shutil.copytree(cfg.outdir, bad)
+    mean_path = bad / "PODFS_mean.prf"
+    lines = mean_path.read_text().splitlines(keepends=True)
+    lines[-1] = ",".join(lines[-1].split(",")[:4]) + "\n"  # 4 of 6 columns
+    mean_path.write_text("".join(lines))
+    with pytest.raises(RuntimeError):
+        native.NativePODFSReplayer(str(bad))
+
+    # (b) control file with trailing garbage
+    bad2 = tmp_path / "garbage_dat"
+    shutil.copytree(cfg.outdir, bad2)
+    with open(bad2 / "PODFS.dat", "a") as f:
+        f.write("unexpected trailing text\n")
+    with pytest.raises(RuntimeError):
+        native.NativePODFSReplayer(str(bad2))
+
+    # (c) mode file with a non-numeric token mid-file
+    bad3 = tmp_path / "corrupt_mode"
+    shutil.copytree(cfg.outdir, bad3)
+    mode_path = bad3 / "PODFS_mode_0001.prf"
+    txt = mode_path.read_text().splitlines(keepends=True)
+    k = len(txt) // 2
+    txt[k] = "x" + txt[k]
+    mode_path.write_text("".join(txt))
+    with pytest.raises(RuntimeError):
+        native.NativePODFSReplayer(str(bad3))
