@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh shards along the plane (z) axis")
     p.add_argument("--shard_time", type=int, default=1,
                    help="mesh shards along the time axis")
+    p.add_argument("--halo", action="store_true", dest="halo_exchange",
+                   help="halo-exchange noise generation over the 's' mesh "
+                        "axis (lax.ppermute over ICI) instead of the exact "
+                        "duplicate-noise path; use for very large planes. "
+                        "Requires --shard_space > 1")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--checkpoint_dir", default="none",
@@ -126,6 +131,7 @@ def config_from_args(args) -> PipelineConfig:
         test_gradients=args.test_gradients,
         outdir=args.outdir, seed=args.seed, dtype=args.dtype,
         shard_space=args.shard_space, shard_time=args.shard_time,
+        halo_exchange=args.halo_exchange,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_block=args.checkpoint_block,
         use_pallas=args.use_pallas,

@@ -123,6 +123,13 @@ class PipelineConfig:
     # Sharding: number of mesh shards along plane (z) and time axes; 1 = no sharding.
     shard_space: int = 1
     shard_time: int = 1
+    # Halo-exchange noise generation over the 's' mesh axis
+    # (parallel/sharding.generate_sharded_halo): each device draws only its
+    # own z-tile of noise and exchanges nfz-wide halos over ICI via
+    # lax.ppermute — use for very large planes where duplicating the
+    # full-width noise per shard dominates.  Statistically equivalent to the
+    # exact path, different noise indexing.
+    halo_exchange: bool = False
     # Resumable generation: directory for block-granular checkpoints
     # ("none" disables; see utils/checkpoint.py)
     checkpoint_dir: str = "none"
@@ -139,6 +146,44 @@ class PipelineConfig:
     @property
     def np_dtype(self):
         return np.dtype(self.dtype)
+
+    def validate(self) -> None:
+        """Reject unsupported flag combinations loudly (no silent
+        precedence): every execution-mode combination either has a defined
+        code path (docs/options.md, 'Execution modes') or raises here."""
+        sharded = self.shard_time * self.shard_space > 1
+        if self.shard_time < 1 or self.shard_space < 1:
+            raise ValueError("shard_time/shard_space must be >= 1")
+        if self.halo_exchange and self.shard_space <= 1:
+            raise ValueError(
+                "--halo requires --shard_space > 1 (halo exchange happens "
+                "over the 's' mesh axis)")
+        if sharded:
+            if not self.streaming_block and self.nsteps % self.shard_time:
+                # streaming generates fixed-size windows, so only the block
+                # size needs to divide (checked below)
+                raise ValueError(
+                    f"nsteps={self.nsteps} not divisible by "
+                    f"shard_time={self.shard_time}")
+            if self.plane.kma % self.shard_space:
+                raise ValueError(
+                    f"kma={self.plane.kma} not divisible by "
+                    f"shard_space={self.shard_space}")
+            if self.use_pallas:
+                raise ValueError(
+                    "--pallas is a single-device generation kernel; it does "
+                    "not compose with --shard_time/--shard_space (the "
+                    "sharded paths use the XLA generator)")
+            if self.checkpoint_dir != "none" and not self.streaming_block:
+                raise ValueError(
+                    "--checkpoint_dir with sharding requires "
+                    "--streaming_block (resumable sharded runs checkpoint "
+                    "the streaming Gram pass; the in-memory sharded path "
+                    "has no checkpoint store)")
+            if self.streaming_block and self.streaming_block % self.shard_time:
+                raise ValueError(
+                    f"streaming_block={self.streaming_block} not divisible "
+                    f"by shard_time={self.shard_time}")
 
     def compute_dt(self, U: np.ndarray, V=0.0, W=0.0) -> Tuple[float, "FilterConfig"]:
         """Timestep logic of digitalfilters.py:1311-1322.

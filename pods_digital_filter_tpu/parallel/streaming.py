@@ -1,0 +1,231 @@
+"""Mesh-sharded out-of-core snapshot POD — the composition that makes the
+flagship scale configuration (BASELINE #5: 1024x512 plane x 10k steps)
+runnable: the snapshot matrix is sharded over a ('t', 's') device mesh AND
+never materialized.
+
+Reference analog: the snapshot-partitioned global assembly of the dead MPI
+layer (nsigproclib_no_mpi.py:364-482) — except nothing is ever assembled.
+Each time block is *regenerated* on demand from the counter-indexed noise
+stream (parallel/sharding.py), sharded over plane z-tiles ('s') and
+time sub-blocks ('t'); the Gram tiles are reduced across the mesh by XLA
+(per-tile partial products + psum over 's' — SURVEY.md §5.8), and only the
+(Ns, Ns) Gram, the (3*Np,) mean and the (3*Np, m) truncated modes ever
+reach the host.
+
+Peak device memory: two (3, block, jma, kma) panels per device *shard* plus
+the Gram tile — bounded by ``block``, independent of Ns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from pods_digital_filter_tpu.ops import lund, pod as pod_ops, rotation
+from pods_digital_filter_tpu.parallel import sharding as shard_lib
+from pods_digital_filter_tpu.streaming import (
+    StreamingPODResult, _block_starts, make_gram_store, streamed_gram)
+
+
+@dataclass
+class ShardedStreamingResult(StreamingPODResult):
+    mean_fields: jax.Array | None = None       # (C, jma, kma) sharded 's'
+    spatial_mode_fields: jax.Array | None = None  # (C, m, jma, kma) sharded 's'
+
+
+def make_sharded_generator(cfg, fields, filt, mesh: Mesh, block: int,
+                           rotate: bool = True, halo: bool | None = None):
+    """Block generator over the mesh: ``gen(t0) -> (3, block, jma, kma)``
+    Lund-colored velocity fields sharded ``P(None, 't', None, 's')``.
+
+    ``t0`` is a dynamic jit argument — every window shares one compiled
+    executable, so the O(B^2) Gram regenerations are compile-free.  ``halo``
+    selects the ppermute halo-exchange noise path
+    (:func:`parallel.sharding.generate_sharded_halo`) instead of the exact
+    duplicate-noise path; default from ``cfg.halo_exchange``.
+    """
+    p = cfg.plane
+    dtype = jnp.dtype(cfg.dtype)
+    if halo is None:
+        halo = getattr(cfg, "halo_exchange", False)
+    gen_noise = (shard_lib.generate_sharded_halo if halo
+                 else shard_lib.generate_sharded)
+    key = jax.random.key(cfg.seed)
+    stresses = tuple(jnp.asarray(s, dtype=dtype) for s in fields.stresses())
+    means = tuple(jnp.asarray(m, dtype=dtype) for m in fields.means())
+
+    @jax.jit
+    def gen(t0, key, stresses, means):
+        X = gen_noise(
+            key, mesh, t0, block, p.jma, p.kma,
+            filt.nfx, filt.nfy, filt.nfz,
+            filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
+            num_components=3, dtype=dtype)
+        X = lund.apply_lund_stacked(X, stresses, means)
+        if rotate:
+            X = rotation.rotate_velocity_fields(X, *p.normal)
+        return X
+
+    return lambda t0: gen(jnp.asarray(t0, jnp.int32), key, stresses, means)
+
+
+@jax.jit
+def _colsum_fields(X):
+    """Time-axis column sum of (C, T, jma, kma) -> (C, jma, kma)."""
+    return jnp.sum(X, axis=1)
+
+
+@jax.jit
+def _pair_products_fields(Xi, Xj, m):
+    """Gram tile + g segment in field layout: contraction over (c, j, k)
+    lowers to per-'s'-shard partials + an all-reduce over the mesh."""
+    Cij = jnp.einsum("ctjk,cujk->tu", Xi, Xj,
+                     preferred_element_type=Xi.dtype)
+    gj = jnp.einsum("cujk,cjk->u", Xj, m, preferred_element_type=Xi.dtype)
+    return Cij, gj
+
+
+@jax.jit
+def _project_block_fields(phi, X, M, m):
+    """phi += einsum(X - m, M) over the block's time axis; output stays
+    sharded over 's'."""
+    return phi + jnp.einsum("ctjk,tm->cmjk", X, M,
+                            preferred_element_type=phi.dtype) \
+        - m[:, None] * jnp.sum(M, axis=0)[None, :, None, None]
+
+
+def streaming_pod_sharded(
+    cfg,
+    fields,
+    filt,
+    mesh: Mesh,
+    rotate: bool = True,
+    block: int = 512,
+    num_modes_trunc: int | None = None,
+    tol_cn: float = 1.0e-15,
+    verbose: bool = False,
+) -> ShardedStreamingResult:
+    """Out-of-core POD with every panel sharded over the mesh.
+
+    Semantics identical to :func:`streaming.streaming_pod` (same counters,
+    same eigen half) — parity tested on the 8-device CPU mesh in
+    tests/test_sharded_streaming.py.  ``cfg.checkpoint_dir`` makes the mean
+    and Gram passes resumable (the checkpoint stores mesh-independent
+    host float64, so a run may resume on a different mesh shape).
+    """
+    ns = cfg.nsteps
+    nt = mesh.shape["t"]
+    block = min(block, ns)
+    if block % nt:
+        raise ValueError(
+            f"streaming_block={block} not divisible by shard_time={nt}")
+    starts = _block_starts(ns, block)
+    nb = len(starts)
+    if num_modes_trunc is None:
+        num_modes_trunc = cfg.podfs.num_modes
+    dtype = jnp.dtype(cfg.dtype)
+    halo = getattr(cfg, "halo_exchange", False)
+
+    store = None
+    if getattr(cfg, "checkpoint_dir", "none") != "none":
+        # the halo path's noise stream depends on the 's' axis size; the
+        # exact path is mesh-independent
+        extra = ("halo", mesh.shape["s"]) if halo else ()
+        store = make_gram_store(cfg, filt, rotate, block, extra=extra)
+
+    gen_block = make_sharded_generator(cfg, fields, filt, mesh, block,
+                                       rotate=rotate, halo=halo)
+
+    def gen(t0):
+        X = gen_block(t0)
+        n = min(block, ns - t0)
+        return X[:, :n] if n < block else X
+
+    # ---- pass 1: mean (stays sharded over 's') --------------------------
+    m_host = store.load_mean() if store is not None else None
+    if m_host is not None:
+        mean_fields = jax.device_put(
+            jnp.asarray(m_host.reshape(3, cfg.plane.jma, cfg.plane.kma),
+                        dtype=dtype),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(None, None, "s")))
+        if verbose:
+            print("sharded streaming POD: mean loaded from checkpoint")
+    else:
+        s = None
+        for t0 in starts:
+            cs = _colsum_fields(gen(t0))
+            s = cs if s is None else s + cs
+        mean_fields = s / ns                     # (3, jma, kma) sharded 's'
+        if store is not None:
+            store.save_mean(np.asarray(mean_fields, dtype=np.float64).reshape(-1))
+        if verbose:
+            print(f"sharded streaming POD: mean pass done "
+                  f"({nb} blocks of {block})")
+
+    # ---- pass 2: Gram (shared resumable driver) -------------------------
+    mm = float(jnp.sum(mean_fields * mean_fields))
+    C = streamed_gram(gen, ns, block, mean_fields, mm, _pair_products_fields,
+                      store=store, verbose=verbose)
+
+    # ---- eigen half ------------------------------------------------------
+    energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
+        C, ns, num_modes_trunc, tol_cn)
+
+    # ---- pass 3: spatial modes (sharded over 's') ------------------------
+    Mfull = (temporal[:, :num_trunc]
+             * (1.0 / energy[:num_trunc])[None, :]) / ns
+    phi = jnp.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma), dtype=dtype)
+    for t0 in starts:
+        X = gen(t0)
+        Mb = jnp.asarray(Mfull[t0:t0 + X.shape[1]], dtype=dtype)
+        phi = _project_block_fields(phi, X, Mb, mean_fields)
+    if verbose:
+        print("sharded streaming POD: projection pass done")
+
+    # pack to the reference layout (row = c*Np + j*kma + k) on the host —
+    # only the m truncated modes and the mean cross the host boundary
+    c, m_, jma, kma = phi.shape
+    phi_packed = np.asarray(phi, dtype=np.float64).transpose(0, 2, 3, 1) \
+        .reshape(c * jma * kma, m_)
+    mean_packed = np.asarray(mean_fields, dtype=np.float64).reshape(-1)
+
+    pr = pod_ops.PODResult(
+        energy=energy,
+        temporal_modes=temporal,
+        spatial_modes=phi_packed,
+        num_valid=num_valid,
+        num_trunc=num_trunc,
+    )
+    return ShardedStreamingResult(
+        mean_field=mean_packed, pod=pr, num_blocks=nb, block=block,
+        mean_fields=mean_fields, spatial_mode_fields=phi,
+    )
+
+
+def write_snapshots_sharded_streaming(cfg, fields, filt, mesh, geom,
+                                      dt: float, rotate: bool = True,
+                                      block: int = 512):
+    """Verbose per-step ``.prf`` export for the sharded streaming path:
+    blocks are regenerated on the mesh and gathered to host one block at a
+    time (bounded memory)."""
+    from pods_digital_filter_tpu.io import prf as prf_io
+
+    block = min(block, cfg.nsteps)
+    gen_block = make_sharded_generator(cfg, fields, filt, mesh, block,
+                                       rotate=rotate)
+    paths = []
+    for t0 in _block_starts(cfg.nsteps, block):
+        X = np.asarray(gen_block(t0), dtype=np.float64)
+        n = min(block, cfg.nsteps - t0)
+        c, _, jma, kma = X.shape
+        A = X[:, :n].transpose(0, 2, 3, 1).reshape(c * jma * kma, n)
+        for i in range(n):
+            paths.append(prf_io.write_snapshot_prf(
+                cfg.outdir, (t0 + i) * dt, A[:, i], geom,
+                cfg.plane.normal, cfg.plane.origin))
+    return paths

@@ -168,11 +168,13 @@ def generate_snapshot_matrix(
 
 
 def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineResult:
+    cfg.validate()
     timer = StageTimer()
     files = []
 
     with timer.stage("profile"):
         fields, dt, filt, cfg, rotate = resolve_profile(cfg)
+        cfg.validate()   # a .prf profile may have replaced plane dims
         if cfg.dt == 0.0:
             print("timestep set to: ", dt, " seconds")
 
@@ -181,11 +183,17 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
     if write_outputs:
         os.makedirs(outdir, exist_ok=True)
 
+    sharded = cfg.shard_time * cfg.shard_space > 1
+
+    if cfg.streaming_block and sharded:
+        return _run_pipeline_sharded_streaming(
+            cfg, fields, dt, filt, rotate, geom, timer, files, write_outputs)
+
     if cfg.streaming_block:
         return _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom,
                                        timer, files, write_outputs)
 
-    if cfg.shard_time * cfg.shard_space > 1:
+    if sharded:
         return _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom,
                                      timer, files, write_outputs)
 
@@ -267,10 +275,15 @@ def _export_model(cfg, geom, pr, fr, mean_host, dt, files):
 def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
                           files, write_outputs):
     """Mesh-sharded pipeline tail: generation over the ('t','s') device mesh
-    (exact counter-indexed path — equals the serial result up to contraction
-    rounding) and the distributed POD of parallel/pod.py (Gram reduced with
-    psum over plane tiles).  Used when --shard_time/--shard_space request a
-    multi-device run."""
+    (exact counter-indexed path by default — equals the serial result up to
+    contraction rounding — or the ppermute halo-exchange path under
+    ``--halo``) and the distributed POD of parallel/pod.py (Gram reduced
+    with psum over plane tiles).  Used when --shard_time/--shard_space
+    request a multi-device run.
+
+    ``PipelineResult.A`` is an empty placeholder: the snapshot matrix stays
+    sharded on the mesh and is never gathered to the host (at the flagship
+    scale it would not fit — the whole point of sharding)."""
     from pods_digital_filter_tpu.parallel import mesh as mesh_lib
     from pods_digital_filter_tpu.parallel import pod as dist_pod
     from pods_digital_filter_tpu.parallel import sharding as shard_lib
@@ -280,10 +293,12 @@ def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
     dtype = jnp.dtype(cfg.dtype)
     stresses = tuple(jnp.asarray(s, dtype=dtype) for s in fields.stresses())
     means = tuple(jnp.asarray(m, dtype=dtype) for m in fields.means())
+    gen_noise = (shard_lib.generate_sharded_halo if cfg.halo_exchange
+                 else shard_lib.generate_sharded)
 
     with timer.stage("generate_sharded"):
         key = jax.random.key(cfg.seed)
-        noise = shard_lib.generate_sharded(
+        noise = gen_noise(
             key, mesh, 0, cfg.nsteps, p.jma, p.kma,
             filt.nfx, filt.nfy, filt.nfz,
             filt.length_scale_x, filt.length_scale_y, filt.length_scale_z,
@@ -304,11 +319,13 @@ def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
 
     if cfg.verbose and write_outputs:
         with timer.stage("write_snapshots"):
-            A_host = np.asarray(
-                shard_lib.pack_sharded_snapshots(X, mesh), dtype=np.float64)
+            # per-snapshot host transfer (one column at a time), not a
+            # full-matrix gather
+            Xp = shard_lib.pack_sharded_snapshots(X, mesh)
             for i in range(cfg.nsteps):
+                col = np.asarray(Xp[:, i], dtype=np.float64)
                 files.append(prf_io.write_snapshot_prf(
-                    cfg.outdir, i * dt, A_host[:, i], geom,
+                    cfg.outdir, i * dt, col, geom,
                     cfg.plane.normal, cfg.plane.origin))
 
     with timer.stage("fourier"):
@@ -319,11 +336,50 @@ def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
         with timer.stage("export"):
             _export_model(cfg, geom, pr, fr, mean_host, dt, files)
 
-    Ac = np.asarray(shard_lib.pack_sharded_snapshots(X, mesh),
-                    dtype=np.float64) - mean_host[:, None]
     return PipelineResult(
         config=cfg, dt=dt, geometry=geom,
-        A=Ac, mean_field=mean_host,
+        A=np.zeros((mean_host.shape[0], 0)), mean_field=mean_host,
+        pod=pr, fourier=fr, files=files, timer=timer,
+    )
+
+
+def _run_pipeline_sharded_streaming(cfg, fields, dt, filt, rotate, geom,
+                                    timer, files, write_outputs):
+    """Sharded AND out-of-core pipeline tail (the flagship-scale
+    composition, BASELINE #5): blocks regenerated over the ('t','s') mesh,
+    Gram reduced across devices, snapshot matrix never materialized on any
+    host or device.  Resumable via --checkpoint_dir."""
+    from pods_digital_filter_tpu.parallel import mesh as mesh_lib
+    from pods_digital_filter_tpu.parallel import streaming as shard_streaming
+
+    mesh = mesh_lib.make_mesh(cfg.shard_time, cfg.shard_space)
+
+    with timer.stage("sharded_streaming_pod"):
+        sp = shard_streaming.streaming_pod_sharded(
+            cfg, fields, filt, mesh, rotate=rotate,
+            block=cfg.streaming_block,
+            num_modes_trunc=cfg.podfs.num_modes, tol_cn=cfg.podfs.tol_cn,
+            verbose=cfg.verbose)
+    pr = sp.pod
+    mean_host = sp.mean_field
+
+    if cfg.verbose and write_outputs:
+        with timer.stage("write_snapshots"):
+            files.extend(shard_streaming.write_snapshots_sharded_streaming(
+                cfg, fields, filt, mesh, geom, dt, rotate=rotate,
+                block=cfg.streaming_block))
+
+    with timer.stage("fourier"):
+        fr = fourier.fourier_compress(
+            pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
+
+    if write_outputs:
+        with timer.stage("export"):
+            _export_model(cfg, geom, pr, fr, mean_host, dt, files)
+
+    return PipelineResult(
+        config=cfg, dt=dt, geometry=geom,
+        A=np.zeros((mean_host.shape[0], 0)), mean_field=mean_host,
         pod=pr, fourier=fr, files=files, timer=timer,
     )
 

@@ -24,6 +24,12 @@ count, reference temporal-mode scaling) is shared with the in-memory path
 (ops/pod.py:temporal_from_gram), so for configurations that fit in memory
 the two paths agree to floating-point tolerance (tests/test_streaming.py).
 
+The O(B^2) Gram pass is resumable: with ``checkpoint_dir`` set, the mean
+vector and each completed Gram row strip are persisted
+(utils/checkpoint.GramCheckpoint) and a restarted run recomputes only the
+missing rows.  The same pass drives the mesh-sharded variant
+(parallel/streaming.py) through :func:`streamed_gram`.
+
 Regeneration count is O(B^2) block generations for B = ceil(Ns/block);
 pick ``block`` as large as HBM allows (2 panels + the Gram tile).
 """
@@ -71,6 +77,59 @@ def _project_block(phi, A, M, m):
         - jnp.outer(m, jnp.sum(M, axis=0))
 
 
+def streamed_gram(gen, ns: int, block: int, m, mm: float, pair_fn,
+                  time_len=lambda A: A.shape[1], store=None,
+                  verbose: bool = False):
+    """The shared O(B^2) pairwise Gram pass over regenerated blocks.
+
+    ``gen(t0)`` returns the block for steps ``[t0, min(t0+block, ns))`` in
+    whatever layout ``pair_fn(Ai, Aj, m) -> (Ai.Aj tile, Aj.m segment)``
+    consumes; ``mm = m.m``.  With a :class:`GramCheckpoint` ``store``,
+    completed row strips are loaded instead of recomputed and new rows are
+    persisted as they finish (kill-and-resume tested in
+    tests/test_streaming.py).  Returns the centered Gram
+    ``C = (A-m)^T (A-m) / ns`` as host float64.
+    """
+    starts = _block_starts(ns, block)
+    nb = len(starts)
+    C_raw = np.zeros((ns, ns), dtype=np.float64)
+    g = np.zeros(ns, dtype=np.float64)
+    for bi, ti in enumerate(starts):
+        ni = min(block, ns - ti)
+        if store is not None and bi in store.completed_rows:
+            strip, gseg = store.load_row(bi)
+            C_raw[ti:ti + ni, ti:] = strip
+            g[ti:ti + ni] = gseg
+            if verbose:
+                print(f"streaming POD: gram row {bi + 1}/{nb} (from checkpoint)")
+            continue
+        Ai = gen(ti)
+        for tj in starts[bi:]:
+            Aj = Ai if tj == ti else gen(tj)
+            nj = time_len(Aj)
+            Cij, gj = pair_fn(Ai, Aj, m)
+            C_raw[ti:ti + ni, tj:tj + nj] = np.asarray(Cij, dtype=np.float64)
+            if tj == ti:
+                g[tj:tj + nj] = np.asarray(gj, dtype=np.float64)
+        if store is not None:
+            store.save_row(bi, C_raw[ti:ti + ni, ti:], g[ti:ti + ni])
+        if verbose:
+            print(f"streaming POD: gram row {bi + 1}/{nb}")
+    iu = np.triu_indices(ns, 1)
+    C_raw[(iu[1], iu[0])] = C_raw[iu]            # mirror upper -> lower
+    return (C_raw - g[:, None] - g[None, :] + mm) / ns
+
+
+def make_gram_store(cfg, filt, rotate, block, extra=()):
+    """GramCheckpoint keyed by everything that determines the Gram values."""
+    from pods_digital_filter_tpu.utils.checkpoint import (
+        GramCheckpoint, config_fingerprint)
+
+    fp = config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, rotate,
+                             cfg.use_pallas, "gram-v1") + tuple(extra))
+    return GramCheckpoint(cfg.checkpoint_dir, fp, cfg.nsteps, block)
+
+
 def streaming_pod(
     cfg,
     fields,
@@ -86,7 +145,8 @@ def streaming_pod(
 
     ``cfg/fields/filt`` are exactly the arguments of
     :func:`pipeline.generate_snapshot_matrix`; blocks are regenerated with
-    the same counters, so the result matches the in-memory pipeline.
+    the same counters, so the result matches the in-memory pipeline.  With
+    ``cfg.checkpoint_dir`` set, the mean and Gram passes are resumable.
     """
     ns = cfg.nsteps
     block = min(block, ns)
@@ -94,6 +154,10 @@ def streaming_pod(
     nb = len(starts)
     if num_modes_trunc is None:
         num_modes_trunc = cfg.podfs.num_modes
+
+    store = None
+    if getattr(cfg, "checkpoint_dir", "none") != "none":
+        store = make_gram_store(cfg, filt, rotate, block)
 
     # one compiled executable for every block (t0 is a dynamic argument);
     # the ragged final block generates a full window and keeps the first
@@ -106,33 +170,26 @@ def streaming_pod(
         return A[:, :n] if n < block else A
 
     # ---- pass 1: mean --------------------------------------------------
-    s = None
-    for t0 in starts:
-        cs = _colsum(gen(t0))
-        s = cs if s is None else s + cs
-    m = s / ns                                   # (3*Np,) device
-    if verbose:
-        print(f"streaming POD: mean pass done ({nb} blocks of {block})")
-
-    # ---- pass 2: Gram --------------------------------------------------
-    C_raw = np.zeros((ns, ns), dtype=np.float64)
-    g = np.zeros(ns, dtype=np.float64)
-    for bi, ti in enumerate(starts):
-        Ai = gen(ti)
-        ni = Ai.shape[1]
-        for tj in starts[bi:]:
-            Aj = Ai if tj == ti else gen(tj)
-            nj = Aj.shape[1]
-            Cij, gj = _pair_products(Ai, Aj, m)
-            C_raw[ti:ti + ni, tj:tj + nj] = np.asarray(Cij, dtype=np.float64)
-            if tj == ti:
-                g[tj:tj + nj] = np.asarray(gj, dtype=np.float64)
+    m_host = store.load_mean() if store is not None else None
+    if m_host is not None:
+        m = jnp.asarray(m_host, dtype=jnp.dtype(cfg.dtype))
         if verbose:
-            print(f"streaming POD: gram row {bi + 1}/{nb}")
-    iu = np.triu_indices(ns, 1)
-    C_raw[(iu[1], iu[0])] = C_raw[iu]            # mirror upper -> lower
+            print("streaming POD: mean loaded from checkpoint")
+    else:
+        s = None
+        for t0 in starts:
+            cs = _colsum(gen(t0))
+            s = cs if s is None else s + cs
+        m = s / ns                               # (3*Np,) device
+        if store is not None:
+            store.save_mean(np.asarray(m, dtype=np.float64))
+        if verbose:
+            print(f"streaming POD: mean pass done ({nb} blocks of {block})")
+
+    # ---- pass 2: Gram (shared, resumable) -------------------------------
     mm = float(jnp.dot(m, m))
-    C = (C_raw - g[:, None] - g[None, :] + mm) / ns
+    C = streamed_gram(gen, ns, block, m, mm, _pair_products,
+                      store=store, verbose=verbose)
 
     # ---- eigen half (shared with the in-memory path) -------------------
     energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(

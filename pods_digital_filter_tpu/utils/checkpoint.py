@@ -121,6 +121,91 @@ class GenerationCheckpoint:
         return A
 
 
+class GramCheckpoint:
+    """Resumable store for the streaming-POD passes (streaming.py,
+    parallel/streaming.py).
+
+    The O(B^2) pairwise-Gram pass is the long pole of an out-of-core POD at
+    10k-snapshot scale; a crash mid-pass must not restart it from zero.
+    Granularity: the mean vector (pass 1) plus one upper-triangular Gram
+    *row strip* per block row (pass 2) — row ``bi`` holds
+    ``C_raw[t_i:t_i+n_i, t_i:]`` and its diagonal's ``g`` segment
+    (``g = A^T m``).  Layout: ``<dir>/gram_meta.json``, ``mean.npz``,
+    ``gram_row_<bi>.npz``; all writes are atomic (tmp + rename).
+    """
+
+    def __init__(self, directory: str, fingerprint: str, nsteps: int,
+                 block: int):
+        self.dir = directory
+        self.fingerprint = fingerprint
+        self.nsteps = nsteps
+        self.block = block
+        os.makedirs(directory, exist_ok=True)
+        self.meta_path = os.path.join(directory, "gram_meta.json")
+        self._load_meta()
+
+    def _load_meta(self):
+        self.completed_rows = set()
+        self.has_mean = False
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                meta = json.load(f)
+            if (meta.get("fingerprint") == self.fingerprint
+                    and meta.get("nsteps") == self.nsteps
+                    and meta.get("block") == self.block):
+                self.has_mean = (meta.get("has_mean", False)
+                                 and os.path.exists(self._mean_path()))
+                for bi in meta.get("completed_rows", []):
+                    if os.path.exists(self._row_path(bi)):
+                        self.completed_rows.add(bi)
+
+    def _mean_path(self) -> str:
+        return os.path.join(self.dir, "mean.npz")
+
+    def _row_path(self, bi: int) -> str:
+        return os.path.join(self.dir, f"gram_row_{bi:06d}.npz")
+
+    def _write_meta(self):
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "fingerprint": self.fingerprint,
+                "nsteps": self.nsteps,
+                "block": self.block,
+                "has_mean": self.has_mean,
+                "completed_rows": sorted(self.completed_rows),
+            }, f)
+        os.replace(tmp, self.meta_path)
+
+    def save_mean(self, mean: np.ndarray):
+        tmp = self._mean_path() + ".tmp.npz"
+        np.savez_compressed(tmp, mean=np.asarray(mean, dtype=np.float64))
+        os.replace(tmp, self._mean_path())
+        self.has_mean = True
+        self._write_meta()
+
+    def load_mean(self) -> Optional[np.ndarray]:
+        if not self.has_mean:
+            return None
+        with np.load(self._mean_path()) as z:
+            return z["mean"]
+
+    def save_row(self, bi: int, strip: np.ndarray, g_seg: np.ndarray):
+        """``strip`` = C_raw[t_i:t_i+n_i, t_i:] (n_i, nsteps - t_i);
+        ``g_seg`` = g[t_i:t_i+n_i]."""
+        path = self._row_path(bi)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, strip=np.asarray(strip, dtype=np.float64),
+                            g=np.asarray(g_seg, dtype=np.float64))
+        os.replace(tmp, path)
+        self.completed_rows.add(bi)
+        self._write_meta()
+
+    def load_row(self, bi: int):
+        with np.load(self._row_path(bi)) as z:
+            return z["strip"], z["g"]
+
+
 def generate_with_checkpoints(
     cfg,
     fields,

@@ -1,0 +1,236 @@
+"""The flagship-scale composition (VERDICT r1 #2/#3/#5): sharding AND
+out-of-core POD in one run — blocks regenerated over the ('t','s') mesh,
+Gram reduced across devices, snapshot matrix never materialized — plus the
+halo-exchange generation path reachable from the pipeline/CLI, config
+validation of unsupported flag combinations, and kill-and-resume of the
+streaming Gram pass via GramCheckpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pods_digital_filter_tpu import replay, streaming
+from pods_digital_filter_tpu.config import (
+    FilterConfig, PipelineConfig, PlaneConfig, PODFSConfig,
+)
+from pods_digital_filter_tpu.parallel import mesh as mesh_lib
+from pods_digital_filter_tpu.parallel import streaming as shard_streaming
+from pods_digital_filter_tpu.pipeline import resolve_profile, run_pipeline
+
+
+def _cfg(tmp_path, outdir="PODFS", nsteps=16, **kw):
+    d = dict(
+        plane=PlaneConfig(jma=9, kma=8, res=0.1),
+        filt=FilterConfig(length_scale_x=2.0, length_scale_y=2.0,
+                          length_scale_z=2.0, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=5, energy_target=0.9),
+        nsteps=nsteps, outdir=str(tmp_path / outdir), dtype="float64",
+    )
+    d.update(kw)
+    return PipelineConfig(**d)
+
+
+@pytest.mark.parametrize("tshape,block", [((2, 4), 8), ((1, 8), 4),
+                                          ((2, 1), 16)])
+def test_sharded_streaming_matches_serial_streaming(tmp_path, tshape, block):
+    """streaming_pod_sharded == streaming_pod (same counters, same eigh on
+    the same Gram values) for several mesh shapes and block sizes."""
+    cfg = _cfg(tmp_path)
+    fields, dt, filt, cfg2, rotate = resolve_profile(cfg)
+
+    sp = streaming.streaming_pod(cfg2, fields, filt, rotate=rotate,
+                                 block=block)
+    mesh = mesh_lib.make_mesh(*tshape)
+    ss = shard_streaming.streaming_pod_sharded(
+        cfg2, fields, filt, mesh, rotate=rotate, block=block)
+
+    np.testing.assert_allclose(ss.mean_field, sp.mean_field, atol=1e-12)
+    nv = sp.pod.num_valid
+    assert ss.pod.num_valid == nv
+    assert ss.pod.num_trunc == sp.pod.num_trunc
+    np.testing.assert_allclose(ss.pod.energy[:nv], sp.pod.energy[:nv],
+                               rtol=1e-9, atol=1e-14)
+    # reconstruction (sign-invariant) parity
+    rec_s = sp.pod.spatial_modes @ sp.pod.temporal_modes[:, :sp.pod.num_trunc].T
+    rec_m = ss.pod.spatial_modes @ ss.pod.temporal_modes[:, :ss.pod.num_trunc].T
+    np.testing.assert_allclose(rec_m, rec_s, atol=1e-8)
+
+
+def test_pipeline_sharded_streaming_end_to_end(tmp_path):
+    """--streaming_block with --shard_time/--shard_space produces the same
+    PODFS model as the serial in-memory pipeline, without ever holding A."""
+    cfg_m = _cfg(tmp_path, outdir="mem", hdf5=True)
+    cfg_s = _cfg(tmp_path, outdir="ss", hdf5=True, streaming_block=8,
+                 shard_time=2, shard_space=4)
+    rm = run_pipeline(cfg_m)
+    rs = run_pipeline(cfg_s)
+
+    assert rs.A.shape[1] == 0              # never materialized
+    np.testing.assert_allclose(rs.mean_field, rm.mean_field, atol=1e-12)
+
+    mm = replay.load_prf(cfg_m.outdir)
+    ms = replay.load_prf(cfg_s.outdir)
+    assert mm.num_modes == ms.num_modes
+    np.testing.assert_allclose(ms.mean, mm.mean, atol=1e-11)
+    assert ms.period == pytest.approx(mm.period)
+    rp_m, rp_s = replay.Replayer(mm), replay.Replayer(ms)
+    ts = np.linspace(0.0, mm.period, 7)
+    np.testing.assert_allclose(rp_s.batch(ts), rp_m.batch(ts), atol=1e-6)
+
+
+def test_pipeline_halo_statistics(tmp_path):
+    """--halo end to end through the pipeline: the halo-exchange noise path
+    produces a statistically equivalent inlet (mean field, Reynolds
+    stresses) to the exact path — different noise stream, same physics."""
+    kw = dict(nsteps=256,
+              plane=PlaneConfig(jma=8, kma=32, res=0.1),
+              filt=FilterConfig(length_scale_x=1.5, length_scale_y=1.5,
+                                length_scale_z=1.5, fwidth=2.0),
+              podfs=PODFSConfig(num_modes=3, energy_target=0.9))
+    r_exact = run_pipeline(_cfg(tmp_path, outdir="exact", shard_space=4,
+                                **kw), write_outputs=False)
+    r_halo = run_pipeline(_cfg(tmp_path, outdir="halo", shard_space=4,
+                               halo_exchange=True, **kw),
+                          write_outputs=False)
+    # both pipelines target the same profile: the time-mean over 256 steps
+    # estimates the same mean field / stress amplitude
+    np.testing.assert_allclose(r_halo.mean_field.mean(),
+                               r_exact.mean_field.mean(), atol=0.1)
+    np.testing.assert_allclose(r_halo.mean_field.var(),
+                               r_exact.mean_field.var(), rtol=0.5, atol=0.02)
+    # POD energy totals (= total fluctuation energy) agree statistically
+    e_h = r_halo.pod.energy[:r_halo.pod.num_valid].sum()
+    e_e = r_exact.pod.energy[:r_exact.pod.num_valid].sum()
+    assert abs(e_h - e_e) / e_e < 0.35, (e_h, e_e)
+
+
+def test_pipeline_halo_streaming(tmp_path):
+    """--halo composes with --streaming_block (sharded streaming generator
+    uses the halo noise path)."""
+    cfg = _cfg(tmp_path, outdir="hs", nsteps=8, streaming_block=4,
+               shard_space=4, halo_exchange=True,
+               plane=PlaneConfig(jma=8, kma=32, res=0.1),
+               filt=FilterConfig(length_scale_x=1.0, length_scale_y=1.0,
+                                 length_scale_z=1.0, fwidth=2.0))
+    r = run_pipeline(cfg)
+    assert r.pod.num_trunc >= 1
+    assert os.path.exists(os.path.join(cfg.outdir, "PODFS.dat"))
+
+
+def test_config_validation_rejects_bad_combos(tmp_path):
+    with pytest.raises(ValueError, match="halo requires"):
+        _cfg(tmp_path, halo_exchange=True).validate()
+    with pytest.raises(ValueError, match="not divisible"):
+        _cfg(tmp_path, nsteps=7, shard_time=2).validate()
+    with pytest.raises(ValueError, match="kma"):
+        _cfg(tmp_path, plane=PlaneConfig(jma=9, kma=9, res=0.1),
+             shard_space=4).validate()
+    with pytest.raises(ValueError, match="pallas"):
+        _cfg(tmp_path, shard_time=2, use_pallas=True).validate()
+    with pytest.raises(ValueError, match="checkpoint"):
+        _cfg(tmp_path, shard_time=2,
+             checkpoint_dir=str(tmp_path / "ck")).validate()
+    with pytest.raises(ValueError, match="streaming_block"):
+        _cfg(tmp_path, shard_time=4, streaming_block=6).validate()
+    # valid combos pass
+    _cfg(tmp_path, shard_time=2, shard_space=4).validate()
+    _cfg(tmp_path, shard_time=2, streaming_block=8,
+         checkpoint_dir=str(tmp_path / "ck2")).validate()
+
+
+class _Killed(RuntimeError):
+    pass
+
+
+def _run_resumable(cfg, kill_after=None):
+    """Run streaming_pod, optionally killing the process (by exception)
+    after `kill_after` generator calls past the mean pass."""
+    fields, dt, filt, cfg2, rotate = resolve_profile(cfg)
+    if kill_after is None:
+        return streaming.streaming_pod(cfg2, fields, filt, rotate=rotate,
+                                       block=4)
+    from pods_digital_filter_tpu.pipeline import make_generator
+    real = make_generator(cfg2, fields, filt, nsteps=4, rotate=rotate)
+    calls = {"n": 0}
+
+    def counted(t0):
+        calls["n"] += 1
+        if calls["n"] > kill_after:
+            raise _Killed()
+        return real(t0)
+
+    import pods_digital_filter_tpu.streaming as smod
+    orig = smod.make_generator
+    smod.make_generator = lambda *a, **k: counted
+    try:
+        with pytest.raises(_Killed):
+            streaming.streaming_pod(cfg2, fields, filt, rotate=rotate,
+                                    block=4)
+    finally:
+        smod.make_generator = orig
+    return calls["n"]
+
+
+def test_gram_checkpoint_kill_and_resume(tmp_path):
+    """Kill the streaming POD mid-Gram-pass; the resumed run loads the mean
+    and completed Gram rows from the checkpoint and finishes with results
+    identical to an uninterrupted run."""
+    ck = str(tmp_path / "ck")
+    cfg = _cfg(tmp_path, nsteps=16, checkpoint_dir=ck)
+    cfg_plain = _cfg(tmp_path, nsteps=16)
+
+    ref = _run_resumable(cfg_plain)
+
+    # 16 steps, block 4 -> 4 mean calls, then Gram rows of 4+3+2+1 calls.
+    # Kill after 4 (mean) + 4 (row 0) + 2 = 10 calls: row 1 interrupted.
+    _run_resumable(cfg, kill_after=10)
+    meta = os.path.join(ck, "gram_meta.json")
+    assert os.path.exists(meta)
+    import json
+    with open(meta) as f:
+        m = json.load(f)
+    assert m["has_mean"] is True
+    assert m["completed_rows"] == [0]          # row 1 was interrupted
+
+    res = _run_resumable(cfg)                  # resume to completion
+    np.testing.assert_allclose(res.mean_field, ref.mean_field, atol=1e-13)
+    nv = ref.pod.num_valid
+    np.testing.assert_allclose(res.pod.energy[:nv], ref.pod.energy[:nv],
+                               rtol=1e-10, atol=1e-15)
+    np.testing.assert_allclose(res.pod.spatial_modes, ref.pod.spatial_modes,
+                               atol=1e-10)
+
+    # the completed run persisted every row (a later restart is a no-op)
+    with open(meta) as f:
+        mb = json.load(f)
+    assert mb["completed_rows"] == [0, 1, 2, 3]
+
+
+def test_gram_checkpoint_invalidated_by_config_change(tmp_path):
+    """A checkpoint written under one config must not be reused by a run
+    whose generation differs (different seed -> different fingerprint)."""
+    ck = str(tmp_path / "ck")
+    r1 = _run_resumable(_cfg(tmp_path, nsteps=8, checkpoint_dir=ck))
+    r2 = _run_resumable(_cfg(tmp_path, nsteps=8, checkpoint_dir=ck, seed=99))
+    # different seed -> genuinely different result (stale rows not loaded)
+    assert not np.allclose(r1.mean_field, r2.mean_field, atol=1e-6)
+
+
+def test_sharded_streaming_checkpoint_resume_across_mesh(tmp_path):
+    """The Gram checkpoint stores mesh-independent host values: a run
+    started on one mesh shape can resume on another (exact noise path)."""
+    ck = str(tmp_path / "ck")
+    cfg = _cfg(tmp_path, nsteps=8, checkpoint_dir=ck)
+    fields, dt, filt, cfg2, rotate = resolve_profile(cfg)
+
+    m1 = mesh_lib.make_mesh(2, 4)
+    s1 = shard_streaming.streaming_pod_sharded(
+        cfg2, fields, filt, m1, rotate=rotate, block=4)
+    m2 = mesh_lib.make_mesh(1, 2)
+    s2 = shard_streaming.streaming_pod_sharded(
+        cfg2, fields, filt, m2, rotate=rotate, block=4)
+    np.testing.assert_allclose(s2.mean_field, s1.mean_field, atol=1e-13)
+    nv = s1.pod.num_valid
+    np.testing.assert_allclose(s2.pod.energy[:nv], s1.pod.energy[:nv],
+                               rtol=1e-10, atol=1e-15)
