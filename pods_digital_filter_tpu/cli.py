@@ -103,6 +103,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead (0 = off; use when 3*Np*nsteps exceeds "
                         "device memory)")
     p.add_argument("--timings", action="store_true", help="print stage timings")
+    # --- multi-process (multi-host) execution -------------------------------
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before running: every "
+                        "process executes the same SPMD pipeline over the "
+                        "global device mesh; only process 0 writes outputs. "
+                        "On TPU pods the coordinator/process args are "
+                        "auto-detected; on CPU/GPU fleets pass them "
+                        "explicitly")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address "
+                        "(auto-detected on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (auto-detected on TPU pods)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's id (auto-detected on TPU pods)")
+    p.add_argument("--platform", default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force the JAX platform (e.g. 'cpu' for virtual-mesh "
+                        "runs on hosts where a TPU plugin is registered)")
     return p
 
 
@@ -146,6 +165,25 @@ def main(argv=None):
         return 0
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    # platform/distributed init must precede the first jax backend use
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        # without x64, jax silently downcasts float64 arrays AND the PRNG
+        # draws different (32-bit) uniforms — a different realization, not
+        # just lower precision
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    if args.multihost:
+        from pods_digital_filter_tpu.parallel.mesh import init_distributed
+
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
 
     from pods_digital_filter_tpu.pipeline import run_pipeline
     from pods_digital_filter_tpu.utils.timing import maybe_trace

@@ -58,6 +58,32 @@ def global_mesh(shard_time: int = 1, shard_space: int = 0) -> Mesh:
     return make_mesh(shard_time, shard_space)
 
 
+def to_host(x, dtype=np.float64) -> np.ndarray:
+    """Fetch a (possibly multi-process) global array to every host.
+
+    Single-process arrays (incl. any fully-addressable sharded array on the
+    virtual CPU mesh) transfer directly; under ``jax.distributed`` a sharded
+    global array is not fully addressable from one process, so it is
+    all-gathered across processes first — the live replacement for the
+    reference's ``MPI_local_to_global_*`` Send/Recv assembly
+    (nsigproclib_no_mpi.py:364-482)."""
+    if isinstance(x, np.ndarray):
+        return np.asarray(x, dtype=dtype)
+    if jax.process_count() > 1 and not getattr(x, "is_fully_addressable", True):
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x, dtype=dtype)
+
+
+def put_global(x: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Place one host array (identical on every process) onto a global
+    sharding — works both single-process and under ``jax.distributed``
+    (the multi-process ``Bcast`` analog, nsigproclib_no_mpi.py:315-360)."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def snapshot_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding of the packed snapshot matrix A (3*Np, Ns): rows (space)
     over 's', snapshots (time) over 't'."""

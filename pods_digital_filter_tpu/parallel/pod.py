@@ -16,6 +16,7 @@ so no cross-device re-layout is needed:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pods_digital_filter_tpu.ops import pod as pod_ops
+from pods_digital_filter_tpu.parallel.mesh import put_global, to_host
 
 
 @dataclass
@@ -36,25 +38,39 @@ class DistributedPODResult:
     num_trunc: int
 
     def spatial_modes_packed(self) -> np.ndarray:
-        """Gather to host and pack to the reference layout (3*Np, m):
+        """Gather to host (all-gathered across processes under
+        ``jax.distributed``) and pack to the reference layout (3*Np, m):
         row = c*Np + j*kma + k."""
-        phi = np.asarray(self.spatial_modes_fields)
+        phi = to_host(self.spatial_modes_fields)
         c, m, jma, kma = phi.shape
         return phi.transpose(0, 2, 3, 1).reshape(c * jma * kma, m)
 
     def mean_packed(self) -> np.ndarray:
-        mf = np.asarray(self.mean_fields)
-        return mf.reshape(-1)
+        return to_host(self.mean_fields).reshape(-1)
 
 
-@jax.jit
-def _center_and_gram(X: jax.Array):
+def _center_and_gram_impl(X: jax.Array):
     ns = X.shape[1]
     mean = jnp.mean(X, axis=1)
     Xc = X - mean[:, None]
     C = jnp.einsum("ctjk,cujk->tu", Xc, Xc,
                    preferred_element_type=X.dtype) / ns
     return mean, Xc, C
+
+
+@functools.lru_cache(maxsize=8)
+def _center_and_gram_fn(mesh: Mesh):
+    """Per-mesh compiled center+Gram with the Gram pinned replicated, so
+    every process can fetch it directly (the tiny (Ns, Ns) eigen half is
+    replicated host work)."""
+    return jax.jit(
+        _center_and_gram_impl,
+        out_shardings=(
+            NamedSharding(mesh, P(None, None, "s")),      # mean fields
+            NamedSharding(mesh, P(None, "t", None, "s")),  # centered X
+            NamedSharding(mesh, P(None, None)),            # Gram: replicated
+        ),
+    )
 
 
 @jax.jit
@@ -74,9 +90,9 @@ def distributed_pod(
     """POD of the sharded snapshot fields; semantics identical to
     :func:`pods_digital_filter_tpu.ops.pod.snapshot_pod`."""
     ns = X.shape[1]
-    mean, Xc, C = _center_and_gram(X)
+    mean, Xc, C = _center_and_gram_fn(mesh)(X)
 
-    energy = np.asarray(jax.device_get(C), dtype=np.float64)
+    energy = to_host(C)
     e, v = np.linalg.eigh(energy)
     e, v = e[::-1], v[:, ::-1]
     e, v = pod_ops.sort_eigenvalues_desc(e, v)
@@ -92,10 +108,7 @@ def distributed_pod(
             temporal[:, j] = temporal[:, j] * np.sqrt(max(e[j], 0.0) / mag)
 
     M = temporal[:, :num_modes_trunc] / (ns * e[:num_modes_trunc])[None, :]
-    M_dev = jax.device_put(
-        jnp.asarray(M, dtype=X.dtype),
-        NamedSharding(mesh, P(None, None)),
-    )
+    M_dev = put_global(M.astype(X.dtype), NamedSharding(mesh, P(None, None)))
     phi = _spatial_modes_fields(Xc, M_dev)
 
     return DistributedPODResult(

@@ -27,6 +27,7 @@ from jax.sharding import Mesh
 
 from pods_digital_filter_tpu.ops import lund, pod as pod_ops, rotation
 from pods_digital_filter_tpu.parallel import sharding as shard_lib
+from pods_digital_filter_tpu.parallel.mesh import put_global, to_host
 from pods_digital_filter_tpu.streaming import (
     StreamingPODResult, _block_starts, make_gram_store, streamed_gram)
 
@@ -148,9 +149,8 @@ def streaming_pod_sharded(
     # ---- pass 1: mean (stays sharded over 's') --------------------------
     m_host = store.load_mean() if store is not None else None
     if m_host is not None:
-        mean_fields = jax.device_put(
-            jnp.asarray(m_host.reshape(3, cfg.plane.jma, cfg.plane.kma),
-                        dtype=dtype),
+        mean_fields = put_global(
+            m_host.reshape(3, cfg.plane.jma, cfg.plane.kma).astype(dtype),
             jax.sharding.NamedSharding(mesh,
                                        jax.sharding.PartitionSpec(None, None, "s")))
         if verbose:
@@ -161,14 +161,14 @@ def streaming_pod_sharded(
             cs = _colsum_fields(gen(t0))
             s = cs if s is None else s + cs
         mean_fields = s / ns                     # (3, jma, kma) sharded 's'
-        if store is not None:
-            store.save_mean(np.asarray(mean_fields, dtype=np.float64).reshape(-1))
+        if store is not None and jax.process_index() == 0:
+            store.save_mean(to_host(mean_fields).reshape(-1))
         if verbose:
             print(f"sharded streaming POD: mean pass done "
                   f"({nb} blocks of {block})")
 
     # ---- pass 2: Gram (shared resumable driver) -------------------------
-    mm = float(jnp.sum(mean_fields * mean_fields))
+    mm = float(to_host(jnp.sum(mean_fields * mean_fields)))
     C = streamed_gram(gen, ns, block, mean_fields, mm, _pair_products_fields,
                       store=store, verbose=verbose)
 
@@ -179,10 +179,16 @@ def streaming_pod_sharded(
     # ---- pass 3: spatial modes (sharded over 's') ------------------------
     Mfull = (temporal[:, :num_trunc]
              * (1.0 / energy[:num_trunc])[None, :]) / ns
-    phi = jnp.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma), dtype=dtype)
+    sh_phi = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, None, "s"))
+    sh_repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    phi = put_global(
+        np.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma),
+                 dtype=np.dtype(dtype)), sh_phi)
     for t0 in starts:
         X = gen(t0)
-        Mb = jnp.asarray(Mfull[t0:t0 + X.shape[1]], dtype=dtype)
+        Mb = put_global(Mfull[t0:t0 + X.shape[1]].astype(np.dtype(dtype)),
+                        sh_repl)
         phi = _project_block_fields(phi, X, Mb, mean_fields)
     if verbose:
         print("sharded streaming POD: projection pass done")
@@ -190,9 +196,8 @@ def streaming_pod_sharded(
     # pack to the reference layout (row = c*Np + j*kma + k) on the host —
     # only the m truncated modes and the mean cross the host boundary
     c, m_, jma, kma = phi.shape
-    phi_packed = np.asarray(phi, dtype=np.float64).transpose(0, 2, 3, 1) \
-        .reshape(c * jma * kma, m_)
-    mean_packed = np.asarray(mean_fields, dtype=np.float64).reshape(-1)
+    phi_packed = to_host(phi).transpose(0, 2, 3, 1).reshape(c * jma * kma, m_)
+    mean_packed = to_host(mean_fields).reshape(-1)
 
     pr = pod_ops.PODResult(
         energy=energy,
@@ -220,7 +225,7 @@ def write_snapshots_sharded_streaming(cfg, fields, filt, mesh, geom,
                                        rotate=rotate)
     paths = []
     for t0 in _block_starts(cfg.nsteps, block):
-        X = np.asarray(gen_block(t0), dtype=np.float64)
+        X = to_host(gen_block(t0))
         n = min(block, cfg.nsteps - t0)
         c, _, jma, kma = X.shape
         A = X[:, :n].transpose(0, 2, 3, 1).reshape(c * jma * kma, n)

@@ -172,6 +172,12 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
     timer = StageTimer()
     files = []
 
+    # multi-process (jax.distributed): every process runs the same SPMD
+    # program; only the lead process writes model files (the reference's
+    # rank-0 gather-and-write pattern, nsigproclib_no_mpi.py:364-482)
+    if jax.process_count() > 1:
+        write_outputs = write_outputs and jax.process_index() == 0
+
     with timer.stage("profile"):
         fields, dt, filt, cfg, rotate = resolve_profile(cfg)
         cfg.validate()   # a .prf profile may have replaced plane dims
@@ -323,7 +329,7 @@ def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
             # full-matrix gather
             Xp = shard_lib.pack_sharded_snapshots(X, mesh)
             for i in range(cfg.nsteps):
-                col = np.asarray(Xp[:, i], dtype=np.float64)
+                col = mesh_lib.to_host(Xp[:, i])
                 files.append(prf_io.write_snapshot_prf(
                     cfg.outdir, i * dt, col, geom,
                     cfg.plane.normal, cfg.plane.origin))

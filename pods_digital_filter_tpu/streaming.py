@@ -90,6 +90,9 @@ def streamed_gram(gen, ns: int, block: int, m, mm: float, pair_fn,
     tests/test_streaming.py).  Returns the centered Gram
     ``C = (A-m)^T (A-m) / ns`` as host float64.
     """
+    from pods_digital_filter_tpu.parallel.mesh import to_host
+
+    lead = jax.process_index() == 0
     starts = _block_starts(ns, block)
     nb = len(starts)
     C_raw = np.zeros((ns, ns), dtype=np.float64)
@@ -108,10 +111,10 @@ def streamed_gram(gen, ns: int, block: int, m, mm: float, pair_fn,
             Aj = Ai if tj == ti else gen(tj)
             nj = time_len(Aj)
             Cij, gj = pair_fn(Ai, Aj, m)
-            C_raw[ti:ti + ni, tj:tj + nj] = np.asarray(Cij, dtype=np.float64)
+            C_raw[ti:ti + ni, tj:tj + nj] = to_host(Cij)
             if tj == ti:
-                g[tj:tj + nj] = np.asarray(gj, dtype=np.float64)
-        if store is not None:
+                g[tj:tj + nj] = to_host(gj)
+        if store is not None and lead:
             store.save_row(bi, C_raw[ti:ti + ni, ti:], g[ti:ti + ni])
         if verbose:
             print(f"streaming POD: gram row {bi + 1}/{nb}")
