@@ -1,0 +1,194 @@
+"""Experiment (VERDICT r1 #7 final MFU attack): break the dependent
+PRNG(VPU) -> GEMM(MXU) chain of the fused kernel with explicit cross-step
+DMA double buffering — but at the *kernel* granularity, where Mosaic's
+pipeliner actually overlaps work:
+
+* kernel A (VPU-only): draw + unpack every noise slab, write to HBM — no
+  MXU work, so nothing stalls; output blocks are DMA'd out while the next
+  slab is drawn (standard Mosaic output pipelining).
+* kernel B (MXU-only): the two Toeplitz GEMMs per slab, noise arriving as a
+  double-buffered *input* BlockSpec — Mosaic prefetches slab i+1's noise by
+  DMA while the MXU runs slab i (the emit_pipeline-style overlap the
+  in-body scratch-ring experiment could not get, exp_pipelined_kernel.py).
+
+Cost: one raw-noise HBM round trip (2 * slabs * jn*kn * dtype bytes).  The
+round-1 two-kernel split (PRNG+GEMM1 | GEMM2) was 31% slower because kernel
+1 kept the dependent chain AND paid the round trip; here the chain itself
+is gone.  bf16 noise halves the traffic (the GEMMs run in bf16 anyway).
+
+Variants measured at two plane sizes (512^2, 256^2), REPS amortized in one
+scan, median-of-5:
+
+  base      — production fused kernel (ops/pallas_filter._fused_spatial)
+  split_f32 — kernel A (f32 noise) -> kernel B
+  split_bf16— kernel A (bf16 noise) -> kernel B (bf16 GEMM input directly)
+  xla_rng   — XLA Threefry noise -> kernel B (no Pallas PRNG at all)
+
+Run on real TPU:  python benchmarks/exp_two_kernel_pipeline.py
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pods_digital_filter_tpu.ops import filters
+from pods_digital_filter_tpu.ops import pallas_filter as pf
+
+NF = 8
+LN = 4.0
+NSTEPS = 64
+REPS = 8
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def _kernel_gemms(noise_ref, bzT_ref, byM_ref, out_ref):
+    t = jnp.dot(noise_ref[0].astype(bzT_ref.dtype), bzT_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(byM_ref[:], t.astype(byM_ref.dtype),
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components", "noise_dtype"))
+def split_pipeline(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
+                   noise_dtype=jnp.float32):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    total = num_components * num_slabs
+    # kernel A: VPU-only noise -> HBM
+    noise = pl.pallas_call(
+        pf._noise_kernel_body,
+        grid=(total,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jn, kn), noise_dtype),
+    )(seed_arr)
+    # kernel B: MXU-only GEMMs, input double-buffered by Mosaic
+    out = pl.pallas_call(
+        _kernel_gemms,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jma, kma), jnp.float32),
+    )(noise, bzT, byM)
+    return out.reshape(num_components, num_slabs, jma, kma)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components"))
+def xla_rng_pipeline(seed_arr, bzT, byM, num_slabs, jma, kma, num_components):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    total = num_components * num_slabs
+    key = jax.random.fold_in(jax.random.key(seed_arr[0, 0]), seed_arr[0, 1])
+    noise = jax.random.uniform(key, (total, jn, kn), jnp.float32,
+                               -_SQRT3, _SQRT3).astype(bzT.dtype)
+    out = pl.pallas_call(
+        _kernel_gemms,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jma, kma), jnp.float32),
+    )(noise, bzT, byM)
+    return out.reshape(num_components, num_slabs, jma, kma)
+
+
+def make_loop(kernel_fn, BzT, ByM, num_slabs, jma, kma, **kw):
+    @jax.jit
+    def loop(seed0):
+        def body(acc, i):
+            params = jnp.stack(
+                [seed0 + i, jnp.int32(0), jnp.int32(num_slabs)])[None, :]
+            z = kernel_fn(params, BzT, ByM, num_slabs=num_slabs, jma=jma,
+                          kma=kma, num_components=3, **kw)
+            return acc + jnp.sum(z), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(REPS, dtype=jnp.int32))
+        return acc
+
+    return loop
+
+
+def timed(fn, *args, label=""):
+    float(fn(*args))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[2] / REPS
+    print(f"{label:28s} {dt * 1e3:8.3f} ms/rep", flush=True)
+    return dt
+
+
+def main():
+    num_slabs = NSTEPS + 2 * NF
+    for jma in (512, 256):
+        kma = jma
+        print(f"=== plane {jma}x{kma}, {num_slabs} slabs x3 comps ===",
+              flush=True)
+        bz = filters.gaussian_fir_coeffs(NF, LN, jnp.float32)
+        ByM = filters.toeplitz_band(bz, jma).astype(jnp.bfloat16)
+        BzT = filters.toeplitz_band(bz, kma).T.astype(jnp.bfloat16)
+        seed_arr = jnp.asarray([[1, 0, num_slabs]], jnp.int32)
+
+        base = pf._fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs,
+                                 jma=jma, kma=kma, num_components=3)
+        sp32 = split_pipeline(seed_arr, BzT, ByM, num_slabs=num_slabs,
+                              jma=jma, kma=kma, num_components=3,
+                              noise_dtype=jnp.float32)
+        # identical stream ids -> f32-noise split must be bitwise-close
+        err = float(jnp.max(jnp.abs(base - sp32)))
+        print(f"split_f32 max abs diff vs base: {err:.2e}", flush=True)
+
+        t0 = timed(make_loop(pf._fused_spatial, BzT, ByM, num_slabs,
+                             jma, kma), jnp.int32(1), label="base (fused)")
+        t1 = timed(make_loop(split_pipeline, BzT, ByM, num_slabs, jma, kma,
+                             noise_dtype=jnp.float32),
+                   jnp.int32(1), label="split_f32")
+        t2 = timed(make_loop(split_pipeline, BzT, ByM, num_slabs, jma, kma,
+                             noise_dtype=jnp.bfloat16),
+                   jnp.int32(1), label="split_bf16")
+        t3 = timed(make_loop(xla_rng_pipeline, BzT, ByM, num_slabs,
+                             jma, kma), jnp.int32(1), label="xla_rng")
+        best = min(t1, t2, t3)
+        print(f"best speedup vs base: {t0 / best:.3f}x", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

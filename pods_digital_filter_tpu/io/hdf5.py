@@ -7,11 +7,17 @@ Layout:
 * dataset ``main/N_FC``: int count of Fourier coefficients per mode;
 * dataset ``main/FC``: the (sum(N_FC), 3) [k, Re, Im] table flattened
   column-major (order='F'), i.e. all k's, then all Re's, then all Im's;
-* dataset ``main/mean``: the (Np, 6) [x,y,z,u,v,w] table flattened
-  column-major, with attrs ``Np``, ``Nvar=6``,
-  ``Vars='x,y,z,u,v,w,dummy'``, ``SF=[1.]*6``;
+* dataset ``main/mean``: the (Np, Nvar) [x,y,z,<vars>] table flattened
+  column-major, with attrs ``Np``, ``Nvar`` (3 + number of variable slots;
+  6 for velocity), ``Vars`` (``'x,y,z,u,v,w,dummy'`` for velocity — the
+  trailing ``dummy`` is reference-format, HDF5.py:37), ``SF=[1.]*Nvar``;
 * group ``main/modes`` with one ``mode_%04i`` dataset per POD mode, same
   layout/attrs as ``mean``.
+
+Multi-variable / scalar models (the reference's ``num_vars`` POD path,
+PODFS.py:1294 + save_Planes packing, PODFS.py:706-734) pass a
+:class:`variables.VariableSet`; the variable slots become the data columns
+after x,y,z and ``Vars`` carries their names.
 """
 
 from __future__ import annotations
@@ -20,19 +26,24 @@ import os
 
 import numpy as np
 
+from pods_digital_filter_tpu.variables import VariableSet
+
 
 def _point_table(points: np.ndarray, u: np.ndarray) -> np.ndarray:
-    tab = np.zeros((points.shape[0], 6), dtype=np.float64)
+    ns = u.shape[1]
+    tab = np.zeros((points.shape[0], 3 + ns), dtype=np.float64)
     tab[:, 0:3] = points
-    tab[:, 3:6] = u
+    tab[:, 3:] = u
     return tab
 
 
-def _add_field_attrs(ds, num_points: int):
+def _add_field_attrs(ds, num_points: int, varset: VariableSet):
+    nvar = 3 + varset.num_slots
     ds.attrs["Np"] = num_points
-    ds.attrs["Nvar"] = 6
-    ds.attrs["Vars"] = np.bytes_("x,y,z,u,v,w,dummy")
-    ds.attrs["SF"] = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    ds.attrs["Nvar"] = nvar
+    ds.attrs["Vars"] = np.bytes_(
+        "x,y,z," + ",".join(varset.column_names) + ",dummy")
+    ds.attrs["SF"] = [1.0] * nvar
 
 
 def write_hdf5(
@@ -42,13 +53,16 @@ def write_hdf5(
     n_fc: np.ndarray,          # (num_modes,) int
     fc: np.ndarray,            # (sum(n_fc), 3) [k, Re, Im]
     points: np.ndarray,        # (Np, 3) cell centres
-    mean_field: np.ndarray,    # (3*Np,) packed mean
-    spatial_modes: np.ndarray, # (3*Np, num_modes)
+    mean_field: np.ndarray,    # (S*Np,) packed mean
+    spatial_modes: np.ndarray, # (S*Np, num_modes)
     filename: str = "PODFS.hdf5",
+    varset: VariableSet | None = None,
 ) -> str:
     import h5py
 
+    varset = varset or VariableSet.velocity()
     num_points = points.shape[0]
+    nvar = 3 + varset.num_slots
     path = os.path.join(outdir, filename)
     with h5py.File(path, "w") as f:
         main = f.create_group("main")
@@ -62,25 +76,26 @@ def write_hdf5(
         ds = main.create_dataset("FC", (total * 3,), dtype=np.float64)
         ds[:] = np.asarray(fc, dtype=np.float64).reshape(total * 3, order="F")
 
-        mean_tab = _point_table(points, mean_field.reshape((num_points, 3), order="F"))
-        ds = main.create_dataset("mean", (num_points * 6,), dtype=np.float64)
-        ds[:] = mean_tab.reshape(num_points * 6, order="F")
-        _add_field_attrs(ds, num_points)
+        mean_tab = _point_table(points, varset.table(mean_field, num_points))
+        ds = main.create_dataset("mean", (num_points * nvar,), dtype=np.float64)
+        ds[:] = mean_tab.reshape(num_points * nvar, order="F")
+        _add_field_attrs(ds, num_points, varset)
 
         modes = main.create_group("modes")
         for i in range(num_modes):
             counter = "%4.4i" % (i + 1)
             tab = _point_table(
-                points, spatial_modes[:, i].reshape((num_points, 3), order="F")
-            )
-            ds = modes.create_dataset("mode_" + counter, (num_points * 6,), dtype=np.float64)
-            ds[:] = tab.reshape(num_points * 6, order="F")
-            _add_field_attrs(ds, num_points)
+                points, varset.table(spatial_modes[:, i], num_points))
+            ds = modes.create_dataset("mode_" + counter,
+                                      (num_points * nvar,), dtype=np.float64)
+            ds[:] = tab.reshape(num_points * nvar, order="F")
+            _add_field_attrs(ds, num_points, varset)
     return path
 
 
 def read_hdf5(path: str) -> dict:
-    """Load a PODFS.hdf5 back into arrays (tests / replay)."""
+    """Load a PODFS.hdf5 back into arrays (tests / replay).  ``mean`` and
+    ``modes`` tables are (Np, Nvar); ``vars`` carries the column names."""
     import h5py
 
     out = {}
@@ -93,10 +108,15 @@ def read_hdf5(path: str) -> dict:
         out["FC"] = np.asarray(main["FC"]).reshape((total, 3), order="F")
         mean = main["mean"]
         npts = int(mean.attrs["Np"])
+        nvar = int(mean.attrs.get("Nvar", 6))
         out["Np"] = npts
-        out["mean"] = np.asarray(mean).reshape((npts, 6), order="F")
+        out["Nvar"] = nvar
+        out["vars"] = (mean.attrs["Vars"].decode()
+                       if isinstance(mean.attrs.get("Vars"), bytes)
+                       else str(mean.attrs.get("Vars", "")))
+        out["mean"] = np.asarray(mean).reshape((npts, nvar), order="F")
         out["modes"] = []
         for i in range(out["N_POD"]):
             ds = f["main/modes/mode_" + "%4.4i" % (i + 1)]
-            out["modes"].append(np.asarray(ds).reshape((npts, 6), order="F"))
+            out["modes"].append(np.asarray(ds).reshape((npts, nvar), order="F"))
     return out

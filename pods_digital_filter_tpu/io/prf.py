@@ -27,6 +27,7 @@ import numpy as np
 
 from pods_digital_filter_tpu.io.plane import PlaneGeometry
 from pods_digital_filter_tpu.ops.fourier import FourierResult
+from pods_digital_filter_tpu.variables import VariableSet
 
 
 def fstr(val: float) -> str:
@@ -34,8 +35,11 @@ def fstr(val: float) -> str:
     return "%0.12f" % val
 
 
-def _prf_header(name: str, normal, plane_rhs: float, turbulence_model: str = "none") -> str:
+def _prf_header(name: str, normal, plane_rhs: float,
+                turbulence_model: str = "none",
+                columns=("u", "v", "w")) -> str:
     n1, n2, n3 = normal
+    ncols = 3 + len(columns)
     lines = [
         f"# {name} # name of the profile",
         f"# turbulence model, {turbulence_model}",
@@ -46,14 +50,14 @@ def _prf_header(name: str, normal, plane_rhs: float, turbulence_model: str = "no
         "localcs,yaxis,0,1,0 # y axis direction of local coordinate system",
         "localcs,zaxis,0,0,1 # z axis direction of local coordinate system",
         "tolerance, 1.00E-08 # tolerance",
-        "scale,1,1,1,1,1,1 # scaling factors",
-        "data,x,y,z,u,v,w",
+        "scale," + ",".join(["1"] * ncols) + " # scaling factors",
+        "data,x,y,z," + ",".join(columns),
     ]
     return "\n".join(lines) + "\n"
 
 
 def _write_points_uvw(f, points: np.ndarray, u: np.ndarray):
-    """Rows ``x,y,z,u,v,w`` — u is (Np, 3).
+    """Rows ``x,y,z,<columns>`` — u is (Np, ncols).
 
     Uses the native fixed-12 formatter (native/fastio.c) when available:
     same bytes as the Python path, ~40x faster at production plane sizes.
@@ -84,27 +88,34 @@ def write_snapshot_prf(outdir: str, time: float, packed_u: np.ndarray, geom: Pla
     return path
 
 
-def write_mean_prf(outdir: str, mean_field: np.ndarray, geom: PlaneGeometry, normal) -> str:
+def write_mean_prf(outdir: str, mean_field: np.ndarray, geom: PlaneGeometry,
+                   normal, varset: VariableSet | None = None) -> str:
     """``PODFS_mean.prf`` (reference pod2prf; note it zeroes the translation
-    so plane_rhs is always 0, PODFS.py:1671-1712)."""
+    so plane_rhs is always 0, PODFS.py:1671-1712).  ``varset`` selects the
+    variable layout (default: 3-component velocity)."""
+    varset = varset or VariableSet.velocity()
     npts = geom.num_cells
-    u = mean_field.reshape((npts, 3), order="F")
+    u = varset.table(mean_field, npts)
     path = os.path.join(outdir, "PODFS_mean.prf")
     with open(path, "w") as f:
-        f.write(_prf_header("PODFS_mean", normal, plane_rhs=0.0))
+        f.write(_prf_header("PODFS_mean", normal, plane_rhs=0.0,
+                            columns=varset.column_names))
         _write_points_uvw(f, geom.cell_centers, u)
     return path
 
 
 def write_mode_prf(outdir: str, mode_index: int, spatial_mode: np.ndarray,
-                   geom: PlaneGeometry, normal) -> str:
+                   geom: PlaneGeometry, normal,
+                   varset: VariableSet | None = None) -> str:
     """``PODFS_mode_%04i.prf`` for 1-based ``mode_index``."""
+    varset = varset or VariableSet.velocity()
     npts = geom.num_cells
-    u = spatial_mode.reshape((npts, 3), order="F")
+    u = varset.table(spatial_mode, npts)
     counter = "%4.4i" % mode_index
     path = os.path.join(outdir, f"PODFS_mode_{counter}.prf")
     with open(path, "w") as f:
-        f.write(_prf_header(f"PODFS_mode_{counter}", normal, plane_rhs=0.0))
+        f.write(_prf_header(f"PODFS_mode_{counter}", normal, plane_rhs=0.0,
+                            columns=varset.column_names))
         _write_points_uvw(f, geom.cell_centers, u)
     return path
 

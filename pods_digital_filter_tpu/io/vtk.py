@@ -143,20 +143,42 @@ def _velocity_arrays(packed: np.ndarray, num_cells: int, num_components: int,
     return out
 
 
+def _varset_arrays(packed: np.ndarray, num_cells: int, varset) -> dict:
+    """Multi-variable array set (reference multi-var mode writer,
+    PODFS.py:213-247/299-345): each vector variable contributes per-component
+    scalars ``<var>_<k>_POD``, a magnitude ``<var>_magnitude_POD`` and the
+    vector ``<var>_POD``; each scalar variable contributes one
+    ``<var>_POD`` array.  Slot layout per variables.VariableSet."""
+    out = {}
+    for v, cc in varset.slot_ranges():
+        block = packed[cc * num_cells:(cc + v.ncomp) * num_cells]
+        if v.is_vector:
+            out.update(_velocity_arrays(block, num_cells, 3, v.name))
+        else:
+            out[f"{v.name}_POD"] = block
+    return out
+
+
 def write_mean_field_vtk(
     outdir: str,
     mean_field: np.ndarray,
     geom: PlaneGeometry,
     var_name: str = "velocity",
     num_components: int = 3,
+    varset=None,
 ) -> str:
     """``POD.spatial_mean_field_<var>.vtk`` (reference ``write_mean_field2``,
-    PODFS.py:438-498) — cell-data on the inflow-plane quads."""
+    PODFS.py:438-498) — cell-data on the inflow-plane quads.  Pass a
+    :class:`variables.VariableSet` for multi-variable / scalar layouts."""
     cfg = geom.config
     conn = quad_connectivity(cfg.jma, cfg.kma)
     n_cells = cfg.jma * cfg.kma
-    data = _velocity_arrays(np.asarray(mean_field, dtype=np.float64),
-                            n_cells, num_components, var_name)
+    packed = np.asarray(mean_field, dtype=np.float64)
+    if varset is not None:
+        data = _varset_arrays(packed, n_cells, varset)
+        var_name = varset.var_name
+    else:
+        data = _velocity_arrays(packed, n_cells, num_components, var_name)
     path = os.path.join(outdir, f"POD.spatial_mean_field_{var_name}.vtk")
     return write_unstructured_grid(
         path, geom.node_points, conn, cell_data=data,
@@ -170,20 +192,30 @@ def write_spatial_modes_vtk(
     num_modes_to_write: int | None = None,
     var_name: str = "velocity",
     num_components: int = 3,
+    varset=None,
 ) -> list:
     """``POD.spatial_mode_<var>_%04d.vtk`` per mode (reference
     ``write_spatial_POD_modes_i_d``, PODFS.py:293-435) — point-data after
-    cell→point averaging, matching the reference's vtkCellDataToPointData."""
+    cell→point averaging, matching the reference's vtkCellDataToPointData.
+
+    With a :class:`variables.VariableSet` the multi-variable layout is used
+    (per-var arrays; the file name carries the comma-joined var_name exactly
+    like the reference, PODFS.py:298)."""
     cfg = geom.config
     jma, kma = cfg.jma, cfg.kma
     conn = quad_connectivity(jma, kma)
     n_cells = jma * kma
     modes = np.asarray(spatial_modes, dtype=np.float64)
     nm = modes.shape[1] if num_modes_to_write is None else num_modes_to_write
+    if varset is not None:
+        var_name = varset.var_name
     paths = []
     for j in range(nm):
-        cell_arrays = _velocity_arrays(modes[:, j], n_cells, num_components,
-                                       var_name)
+        if varset is not None:
+            cell_arrays = _varset_arrays(modes[:, j], n_cells, varset)
+        else:
+            cell_arrays = _velocity_arrays(modes[:, j], n_cells,
+                                           num_components, var_name)
         point_arrays = {
             name: _cell_to_point(arr, jma, kma)
             for name, arr in cell_arrays.items()

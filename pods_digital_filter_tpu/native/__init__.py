@@ -208,6 +208,7 @@ def _load_replay():
             lib.podfs_free.restype = None
             lib.podfs_free.argtypes = [ctypes.c_void_p]
             for name, res in (("podfs_num_points", ctypes.c_long),
+                              ("podfs_num_vars", ctypes.c_long),
                               ("podfs_num_modes", ctypes.c_long),
                               ("podfs_period", ctypes.c_double),
                               ("podfs_points",
@@ -254,6 +255,7 @@ class NativePODFSReplayer:
         if not self._h:
             raise RuntimeError(f"podfs_load failed for {model_dir!r}")
         self.num_points = int(lib.podfs_num_points(self._h))
+        self.num_vars = int(lib.podfs_num_vars(self._h))
         self.num_modes = int(lib.podfs_num_modes(self._h))
         self.period = float(lib.podfs_period(self._h))
         pts = lib.podfs_points(self._h)
@@ -261,8 +263,9 @@ class NativePODFSReplayer:
             pts, shape=(self.num_points, 3)).copy()
 
     def eval(self, t: float, alpha: float = 1.0) -> np.ndarray:
-        """Velocity at one time -> (Np, 3)."""
-        out = np.empty((self.num_points, 3), dtype=np.float64)
+        """Field at one time -> (Np, num_vars); (Np, 3) u,v,w for velocity
+        models."""
+        out = np.empty((self.num_points, self.num_vars), dtype=np.float64)
         rc = self._lib.podfs_eval(
             self._h, float(t), float(alpha),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
@@ -271,9 +274,10 @@ class NativePODFSReplayer:
         return out
 
     def eval_batch(self, ts, alpha: float = 1.0) -> np.ndarray:
-        """Velocities at a batch of times -> (Nt, Np, 3)."""
+        """Fields at a batch of times -> (Nt, Np, num_vars)."""
         ts = np.ascontiguousarray(ts, dtype=np.float64).ravel()
-        out = np.empty((ts.shape[0], self.num_points, 3), dtype=np.float64)
+        out = np.empty((ts.shape[0], self.num_points, self.num_vars),
+                       dtype=np.float64)
         rc = self._lib.podfs_eval_batch(
             self._h, ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ts.shape[0], float(alpha),

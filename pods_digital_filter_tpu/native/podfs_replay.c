@@ -26,13 +26,18 @@
  *   podfs_model *podfs_load(const char *dir);
  *   void         podfs_free(podfs_model *m);
  *   long         podfs_num_points(const podfs_model *m);
+ *   long         podfs_num_vars(const podfs_model *m);     // slots per point
  *   long         podfs_num_modes(const podfs_model *m);
  *   double       podfs_period(const podfs_model *m);
  *   const double*podfs_points(const podfs_model *m);       // (Np,3) row-major
  *   int  podfs_eval(const podfs_model *m, double t, double alpha,
- *                   double *out);                          // (Np,3) row-major
+ *                   double *out);                          // (Np,nvars)
  *   int  podfs_eval_batch(const podfs_model *m, const double *ts, long nt,
- *                         double alpha, double *out);      // (nt,Np,3)
+ *                         double alpha, double *out);      // (nt,Np,nvars)
+ *
+ * nvars is read from the .prf "data," header: 3 (u,v,w) for velocity
+ * models, 3 + number of scalars for multi-variable models (the reference's
+ * num_vars POD, PODFS.py:1294 / save_Planes packing, PODFS.py:706-734).
  */
 
 #include <ctype.h>
@@ -56,12 +61,15 @@
 
 typedef struct podfs_model {
     long np;          /* inlet points */
+    long ns;          /* variable slots per point (3 for velocity models;
+                         3 + number of scalars for multi-variable models —
+                         the reference's num_vars POD, PODFS.py:1294) */
     long nm;          /* POD modes */
     long nc;          /* total Fourier coefficients (sum of counts) */
     double period;
     double *points;   /* np*3 row-major (x,y,z) */
-    double *mean;     /* np*3 row-major (u,v,w) */
-    double *modes;    /* nm * np*3 row-major */
+    double *mean;     /* np*ns row-major */
+    double *modes;    /* nm * np*ns row-major */
     long *counts;     /* nm */
     long *offsets;    /* nm+1 prefix sum into k/cre/cim */
     double *k;        /* nc wavenumbers */
@@ -156,36 +164,51 @@ fail:
 
 /* ------------------------------------------------------ .prf field files */
 
+#define PODFS_MAX_COLS 64
+
 /* Header lines through the one starting with "data,", then comma-separated
- * rows x,y,z,u,v,w (CFDCodeIntegration.rst:39-54).  points/u may be NULL to
- * skip storing; returns the row count or -1. */
-static long parse_prf(const char *path, long expect_np,
-                      double *points, double *u)
+ * rows x,y,z,<vars> (CFDCodeIntegration.rst:39-54; 6 columns for velocity
+ * models, 3+ns for multi-variable models).  The column count comes from the
+ * "data," header itself.  points/u may be NULL to skip storing; returns the
+ * row count or -1; *ns_out receives the variable-slot count (cols - 3).
+ * expect_ns >= 0 enforces a slot count (mode files must match the mean). */
+static long parse_prf(const char *path, long expect_np, long expect_ns,
+                      double *points, double *u, long *ns_out)
 {
     long len = 0;
     char *buf = read_all(path, &len);
     char *p, *end, *line;
-    long rows = 0;
+    long rows = 0, ncols = 0, ns;
     if (!buf) return -1;
 
-    /* skip header: advance past the line whose first token is "data," */
+    /* skip header: advance past the line whose first token is "data,";
+     * count its comma-separated column names */
     p = buf;
     while (*p) {
         line = p;
         while (*p && *p != '\n') p++;
         if (*p) p++;
         while (*line == ' ' || *line == '\t') line++;
-        if (strncmp(line, "data,", 5) == 0) break;
+        if (strncmp(line, "data,", 5) == 0) {
+            const char *q = line;
+            ncols = 0;
+            while (q < p && *q != '\n') { if (*q == ',') ncols++; q++; }
+            break;
+        }
     }
-    if (!*p) { free(buf); return -1; }
+    if (!*p || ncols < 4 || ncols > PODFS_MAX_COLS) { free(buf); return -1; }
+    ns = ncols - 3;
+    if (expect_ns >= 0 && ns != expect_ns) { free(buf); return -1; }
+    if (ns_out) *ns_out = ns;
 
     while (*p) {
-        double v[6];
-        int c, ok = 1;
+        double v[PODFS_MAX_COLS];
+        long c;
+        int ok = 1;
         /* skip blank lines */
         while (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t') p++;
         if (!*p) break;
-        for (c = 0; c < 6; c++) {
+        for (c = 0; c < ncols; c++) {
             v[c] = strtod(p, &end);
             if (end == p) { ok = 0; break; }
             p = end;
@@ -197,7 +220,7 @@ static long parse_prf(const char *path, long expect_np,
         if (!ok) { free(buf); return -1; }
         if (expect_np >= 0 && rows >= expect_np) { free(buf); return -1; }
         if (points) memcpy(points + rows * 3, v, 3 * sizeof(double));
-        if (u) memcpy(u + rows * 3, v + 3, 3 * sizeof(double));
+        if (u) memcpy(u + rows * ns, v + 3, (size_t)ns * sizeof(double));
         rows++;
     }
     free(buf);
@@ -225,22 +248,23 @@ static podfs_model *podfs_load_impl(const char *dir)
     snprintf(path, sizeof(path), "%s/PODFS.dat", dir);
     if (parse_dat(m, path) != 0) { podfs_free(m); return NULL; }
 
-    /* mean profile fixes the point count */
+    /* mean profile fixes the point count and the variable-slot count */
     snprintf(path, sizeof(path), "%s/PODFS_mean.prf", dir);
-    np = parse_prf(path, -1, NULL, NULL);
-    if (np <= 0) { podfs_free(m); return NULL; }
+    np = parse_prf(path, -1, -1, NULL, NULL, &m->ns);
+    if (np <= 0 || m->ns <= 0) { podfs_free(m); return NULL; }
     m->np = np;
     m->points = (double *)malloc(sizeof(double) * (size_t)np * 3);
-    m->mean = (double *)malloc(sizeof(double) * (size_t)np * 3);
+    m->mean = (double *)malloc(sizeof(double) * (size_t)np * (size_t)m->ns);
     m->modes = (double *)malloc(sizeof(double) * (size_t)(m->nm ? m->nm : 1)
-                                * (size_t)np * 3);
+                                * (size_t)np * (size_t)m->ns);
     if (!m->points || !m->mean || !m->modes) { podfs_free(m); return NULL; }
-    if (parse_prf(path, np, m->points, m->mean) != np) {
+    if (parse_prf(path, np, m->ns, m->points, m->mean, NULL) != np) {
         podfs_free(m); return NULL;
     }
     for (i = 0; i < m->nm; i++) {
         snprintf(path, sizeof(path), "%s/PODFS_mode_%04ld.prf", dir, i + 1);
-        if (parse_prf(path, np, NULL, m->modes + i * np * 3) != np) {
+        if (parse_prf(path, np, m->ns, NULL, m->modes + i * np * m->ns,
+                      NULL) != np) {
             podfs_free(m); return NULL;
         }
     }
@@ -265,6 +289,7 @@ podfs_model *podfs_load(const char *dir)
 }
 
 long podfs_num_points(const podfs_model *m) { return m ? m->np : 0; }
+long podfs_num_vars(const podfs_model *m) { return m ? m->ns : 0; }
 long podfs_num_modes(const podfs_model *m) { return m ? m->nm : 0; }
 double podfs_period(const podfs_model *m) { return m ? m->period : 0.0; }
 const double *podfs_points(const podfs_model *m)
@@ -291,7 +316,7 @@ static void eval_one(const podfs_model *m, const double *b, double alpha,
                      double *out)
 {
     long i, p;
-    const long n3 = m->np * 3;
+    const long n3 = m->np * m->ns;
     for (p = 0; p < n3; p++)
         out[p] = alpha * m->mean[p];
     for (i = 0; i < m->nm; i++) {
@@ -337,7 +362,7 @@ int podfs_eval_batch(const podfs_model *m, const double *ts, long nt,
             continue;
         }
         temporal_factors(m, ts[s], b);
-        eval_one(m, b, alpha, out + s * m->np * 3);
+        eval_one(m, b, alpha, out + s * m->np * m->ns);
         if (b != bstack) free(b);
     }
     return err;

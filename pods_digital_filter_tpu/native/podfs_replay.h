@@ -34,17 +34,21 @@ podfs_model *podfs_load(const char *dir);
 void podfs_free(podfs_model *m);
 
 long podfs_num_points(const podfs_model *m);
+/* Variable slots per point, from the .prf "data," header: 3 (u,v,w) for
+ * velocity models, 3 + number of scalars for multi-variable models. */
+long podfs_num_vars(const podfs_model *m);
 long podfs_num_modes(const podfs_model *m);
 double podfs_period(const podfs_model *m);
 /* (num_points x 3) x,y,z inlet point coordinates, owned by the model. */
 const double *podfs_points(const podfs_model *m);
 
-/* Velocity at one time: out is (num_points x 3) u,v,w.  alpha scales the
- * mean field (CFDCodeIntegration.rst:87-91).  Returns 0 on success. */
+/* Field at one time: out is (num_points x num_vars) — u,v,w for velocity
+ * models.  alpha scales the mean field (CFDCodeIntegration.rst:87-91).
+ * Returns 0 on success. */
 int podfs_eval(const podfs_model *m, double t, double alpha, double *out);
 
-/* Batched: ts is (nt), out is (nt x num_points x 3).  OpenMP-parallel over
- * timesteps when compiled with -fopenmp. */
+/* Batched: ts is (nt), out is (nt x num_points x num_vars).  OpenMP-parallel
+ * over timesteps when compiled with -fopenmp. */
 int podfs_eval_batch(const podfs_model *m, const double *ts, long nt,
                      double alpha, double *out);
 

@@ -161,6 +161,63 @@ def _fused_spatial(seed, bzT, byM, num_slabs, jma, kma, num_components,
     return out.reshape(num_components, num_slabs, jma, kma)
 
 
+def _noise_kernel_body(params_ref, out_ref):
+    """Raw-noise variant: same seeding + draw + unpack as ``_kernel_body``
+    but emits the unpacked noise slab itself.  Two uses: the TPU-gated
+    statistical tests of the on-core PRNG stream (tests/test_pallas_filter)
+    and the two-kernel pipelined path experiments."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    slab = params_ref[0, 1] + pid % num_slabs
+    stream = comp * jnp.int32(1 << 22) + slab
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    if kn % 2 == 0:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn // 2)), jnp.int32)
+        lo = jnp.bitwise_and(bits, jnp.int32(0xFFFF)) - jnp.int32(32768)
+        hi = jax.lax.shift_right_arithmetic(bits, 16)
+        v = jnp.concatenate([lo, hi], axis=1)
+        x = v.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn)), jnp.int32)
+        x = bits.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 * 2.0 ** -32)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jn", "kn",
+                                             "num_components", "out_dtype"))
+def raw_noise_slabs(seed, t0, num_slabs, jn, kn, num_components=1,
+                    out_dtype=jnp.float32):
+    """The fused kernel's on-core PRNG stream, materialized: the exact
+    per-slab draw/unpack/scale of ``_kernel_body`` (same stream ids, same
+    values the GEMMs consume) as a ``(C, num_slabs, jn, kn)`` array.
+
+    Real-TPU only (``pltpu.prng_random_bits`` has no interpreter
+    emulation) — used by the TPU-gated moment/autocorrelation tests that
+    CI-check the Mosaic PRNG quality."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = jnp.stack([jnp.asarray(seed, jnp.int32),
+                        jnp.asarray(t0, jnp.int32),
+                        jnp.asarray(num_slabs, jnp.int32)])[None, :]
+    out = pl.pallas_call(
+        _noise_kernel_body,
+        grid=(num_components * num_slabs,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_components * num_slabs, jn, kn), out_dtype),
+    )(params)
+    return out.reshape(num_components, num_slabs, jn, kn)
+
+
 def vmem_bytes_estimate(jma: int, kma: int, nfy: int, nfz: int) -> int:
     jn, kn = jma + 2 * nfy, kma + 2 * nfz
     return 4 * (jn * kn + kn * kma + jma * jn + jn * kma + jma * kma)

@@ -115,6 +115,9 @@ class PlaneSpec:
     save: bool = True                 # write per-snapshot .prf
     pod: bool = False                 # accumulate into the POD input matrix
     r_limits: Optional[tuple] = None  # (r_in, r_out) polar mask (POD_planes_rin/rout)
+    polar: bool = False               # rotate vector fields to (axial, radial,
+                                      # tangential) per cell before packing
+                                      # (make_planes_polar, PODFS.py:711-720)
 
 
 _PRF_DATA_ROW = {
@@ -170,15 +173,23 @@ def save_planes(
     resolution: int = 50,
     turbulence_model: str = "k_epsilon",
     vel: str = "velocity",
+    pod_vars: Optional[Sequence[str]] = None,
 ) -> List[str]:
     """One snapshot of the legacy postproc loop (``save_Planes``,
     PODFS.py:623-852): extract every configured plane, write ``.prf`` for
-    ``save`` planes, and append the (masked) packed velocity column into
+    ``save`` planes, and append the (masked) packed field column into
     ``pod_matrix[name]`` for ``pod`` planes.
 
-    ``pod_matrix`` maps plane name -> (3*Nc, Ns) array the caller allocates;
-    column ``snap_index`` is filled here.  Returns written paths.
+    ``pod_vars`` lists the fields to pack (the reference's
+    ``pp_var_name_list``, PODFS.py:706-734) — vectors (``(Np, 3)`` fields)
+    occupy three consecutive slots, scalars one; default is the velocity
+    field alone.  With ``spec.polar`` vector fields are rotated to (axial,
+    radial, tangential) per cell before packing (``make_planes_polar``,
+    PODFS.py:711-720).  ``pod_matrix`` maps plane name -> (S*Nc, Ns) array
+    the caller allocates; column ``snap_index`` is filled here.  Returns
+    written paths.
     """
+    pod_vars = list(pod_vars) if pod_vars is not None else [vel]
     written = []
     for spec in specs:
         plane = extract_plane(volume_points, volume_fields, spec.normal,
@@ -195,19 +206,31 @@ def save_planes(
             written.append(write_plane_prf(
                 path, plane, spec.name, n, rhs, turbulence_model, vel=vel))
         if spec.pod and pod_matrix is not None:
-            uc = plane.cell_field(vel)            # (Nc, 3) cell velocity
-            mask = np.ones(uc.shape[0])
+            centre = (np.asarray(spec.centre, dtype=np.float64)
+                      if spec.centre is not None
+                      else plane.points.mean(axis=0))
+            cell_pts = plane.points[plane.connectivity].mean(axis=1)
+            mask = np.ones(cell_pts.shape[0])
+            r, theta = polar_coordinates(cell_pts, centre)
             if spec.r_limits is not None:
-                centre = (np.asarray(spec.centre, dtype=np.float64)
-                          if spec.centre is not None
-                          else plane.points.mean(axis=0))
-                cell_pts = plane.points[plane.connectivity].mean(axis=1)
-                r, _ = polar_coordinates(cell_pts, centre)
                 r_in, r_out = spec.r_limits
                 # zero cells outside the target radii (PODFS.py:700-716)
                 mask = ((r >= r_in) & (r <= r_out)).astype(np.float64)
-            col = (uc * mask[:, None]).reshape(-1, order="F")
-            pod_matrix[spec.name][:, snap_index] = col
+            slots = []
+            for name in pod_vars:
+                fc = plane.cell_field(name)
+                if fc.ndim == 2:                    # vector: 3 slots
+                    if spec.polar:
+                        # (axial, radial, tangential) — PODFS.py:711-720
+                        ur = fc[:, 1] * np.cos(theta) + fc[:, 2] * np.sin(theta)
+                        ut = -fc[:, 1] * np.sin(theta) + fc[:, 2] * np.cos(theta)
+                        comps = [fc[:, 0], ur, ut]
+                    else:
+                        comps = [fc[:, k] for k in range(fc.shape[1])]
+                    slots.extend(c * mask for c in comps)
+                else:                               # scalar: 1 slot
+                    slots.append(fc * mask)
+            pod_matrix[spec.name][:, snap_index] = np.concatenate(slots)
     return written
 
 

@@ -40,15 +40,17 @@ import numpy as np
 def read_field_prf(path: str):
     """Read a ``PODFS_mean.prf`` / ``PODFS_mode_%04i.prf`` field profile.
 
-    Returns ``(points (Np,3), u (Np,3))``.  The format (header lines through
-    ``data,x,y,z,u,v,w``, then comma-separated fixed-width rows) is defined
-    by the reference's ``pod2prf`` writer (PODFS.py:1711-1745).
+    Returns ``(points (Np,3), u (Np, S))`` where ``S`` is the number of data
+    columns after x,y,z — 3 for velocity models, 3 + number of scalars for
+    multi-variable models.  The format (header lines through
+    ``data,x,y,z,...``, then comma-separated fixed-width rows) is defined by
+    the reference's ``pod2prf`` writer (PODFS.py:1711-1745).
     """
     from pods_digital_filter_tpu import native
 
     tab = native.parse_table(path)
-    if tab is not None and tab.shape[1] == 6:
-        return tab[:, 0:3].copy(), tab[:, 3:6].copy()
+    if tab is not None and tab.shape[1] >= 4:
+        return tab[:, 0:3].copy(), tab[:, 3:].copy()
 
     points = []
     u = []
@@ -64,7 +66,7 @@ def read_field_prf(path: str):
                 continue
             vals = [float(v) for v in line.split(",")]
             points.append(vals[0:3])
-            u.append(vals[3:6])
+            u.append(vals[3:])
     return np.asarray(points, dtype=np.float64), np.asarray(u, dtype=np.float64)
 
 
@@ -81,8 +83,8 @@ class PODFSModel:
     mask on the compute path.
     """
     points: np.ndarray        # (Np, 3) plane cell centres
-    mean: np.ndarray          # (3*Np,) packed mean field (u-block, v-block, w-block)
-    modes: np.ndarray         # (nm, 3*Np) packed spatial modes
+    mean: np.ndarray          # (S*Np,) packed mean field (slot blocks)
+    modes: np.ndarray         # (nm, S*Np) packed spatial modes
     period: float
     k: np.ndarray             # (nm, kmax) integer wavenumbers (float array)
     c_re: np.ndarray          # (nm, kmax)
@@ -96,6 +98,16 @@ class PODFSModel:
     @property
     def num_points(self) -> int:
         return self.points.shape[0]
+
+    #: data column names after x,y,z (from the .prf ``data,`` header or the
+    #: HDF5 ``Vars`` attr); ``("u","v","w")`` for velocity models
+    columns: tuple = ("u", "v", "w")
+
+    @property
+    def num_slots(self) -> int:
+        """Variable slots per point: 3 for velocity models, 3 + number of
+        scalars for multi-variable models (variables.VariableSet layout)."""
+        return self.mean.shape[0] // self.points.shape[0]
 
 
 def _pad_fc(fc_per_mode):
@@ -117,9 +129,20 @@ def _pad_fc(fc_per_mode):
 
 
 def _pack(u: np.ndarray) -> np.ndarray:
-    """(Np, 3) field -> packed (3*Np,) [u-block; v-block; w-block] vector,
-    the snapshot-matrix layout (digitalfilters.py:1471-1473)."""
+    """(Np, S) table -> packed (S*Np,) slot-block vector, the
+    snapshot-matrix layout (digitalfilters.py:1471-1473)."""
     return u.reshape(-1, order="F")
+
+
+def read_prf_columns(path: str) -> tuple:
+    """Data column names (after x,y,z) from a ``.prf`` ``data,`` header."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("data,"):
+                cols = [c.strip() for c in line.split(",")[1:]]
+                return tuple(cols[3:]) if len(cols) > 3 else ("u", "v", "w")
+    return ("u", "v", "w")
 
 
 def load_prf(model_dir: str) -> PODFSModel:
@@ -128,7 +151,9 @@ def load_prf(model_dir: str) -> PODFSModel:
     from pods_digital_filter_tpu.io.prf import read_podfs_dat
 
     period, fc_per_mode = read_podfs_dat(os.path.join(model_dir, "PODFS.dat"))
-    points, mean_u = read_field_prf(os.path.join(model_dir, "PODFS_mean.prf"))
+    mean_path = os.path.join(model_dir, "PODFS_mean.prf")
+    points, mean_u = read_field_prf(mean_path)
+    columns = read_prf_columns(mean_path)
 
     mode_paths = sorted(
         p for p in os.listdir(model_dir)
@@ -144,7 +169,8 @@ def load_prf(model_dir: str) -> PODFSModel:
     )
     k, c_re, c_im, counts = _pad_fc(fc_per_mode)
     return PODFSModel(points=points, mean=_pack(mean_u), modes=modes,
-                      period=period, k=k, c_re=c_re, c_im=c_im, counts=counts)
+                      period=period, k=k, c_re=c_re, c_im=c_im, counts=counts,
+                      columns=columns)
 
 
 def load_hdf5(path: str) -> PODFSModel:
@@ -158,13 +184,18 @@ def load_hdf5(path: str) -> PODFSModel:
         fc_per_mode.append(d["FC"][pos:pos + int(n)])
         pos += int(n)
     points = d["mean"][:, 0:3]
-    mean = _pack(d["mean"][:, 3:6])
-    modes = np.stack([_pack(m[:, 3:6]) for m in d["modes"]]) if d["modes"] \
-        else np.zeros((0, points.shape[0] * 3))
+    nslots = d["mean"].shape[1] - 3
+    mean = _pack(d["mean"][:, 3:])
+    modes = np.stack([_pack(m[:, 3:]) for m in d["modes"]]) if d["modes"] \
+        else np.zeros((0, points.shape[0] * nslots))
     k, c_re, c_im, counts = _pad_fc(fc_per_mode)
+    # Vars attr is 'x,y,z,<cols>,dummy' (reference HDF5.py:37)
+    vars_attr = [c for c in d.get("vars", "").split(",") if c]
+    columns = tuple(vars_attr[3:3 + nslots]) if len(vars_attr) >= 3 + nslots \
+        else ("u", "v", "w")
     return PODFSModel(points=points, mean=mean, modes=modes,
                       period=d["period"], k=k, c_re=c_re, c_im=c_im,
-                      counts=counts)
+                      counts=counts, columns=columns)
 
 
 def load_model(path: str) -> PODFSModel:
@@ -232,14 +263,16 @@ class Replayer:
                          self._modes, self._mean, alpha=alpha)
 
     def batch(self, ts, alpha: float = 1.0) -> np.ndarray:
-        """Evaluate at a batch of times -> (Nt, Np, 3) on host."""
+        """Evaluate at a batch of times -> (Nt, Np, S) on host (S = variable
+        slots; 3 for velocity models)."""
         out = np.asarray(self.batch_device(ts, alpha=alpha))
         npts = self.model.num_points
-        # each packed row is [u-block, v-block, w-block] -> (Np, 3)
-        return out.reshape(out.shape[0], 3, npts).transpose(0, 2, 1)
+        ns = self.model.num_slots
+        # each packed row is slot blocks -> (Np, S)
+        return out.reshape(out.shape[0], ns, npts).transpose(0, 2, 1)
 
     def __call__(self, t: float, alpha: float = 1.0) -> np.ndarray:
-        """Evaluate at one time -> (Np, 3)."""
+        """Evaluate at one time -> (Np, S)."""
         return self.batch([t], alpha=alpha)[0]
 
 
@@ -286,17 +319,16 @@ def main(argv=None):
         np.save(os.path.join(args.outdir, "fields.npy"), fields)
         np.save(os.path.join(args.outdir, "times.npy"), ts)
     else:
-        from types import SimpleNamespace
+        from pods_digital_filter_tpu.io.prf import (
+            _prf_header, _write_points_uvw)
 
-        from pods_digital_filter_tpu.io.prf import write_snapshot_prf
-
-        # write_snapshot_prf needs only the cell centres + count
-        geom = SimpleNamespace(cell_centers=model.points,
-                               num_cells=model.num_points)
         for i, t in enumerate(ts):
-            write_snapshot_prf(args.outdir, float(t),
-                               fields[i].reshape(-1, order="F"), geom,
-                               normal=(1.0, 0.0, 0.0), origin=(0.0, 0.0, 0.0))
+            path = os.path.join(args.outdir, ("%.5E" % float(t)) + ".prf")
+            with open(path, "w") as f:
+                f.write(_prf_header("Replayed from PODFS model",
+                                    (1.0, 0.0, 0.0), 0.0,
+                                    columns=model.columns))
+                _write_points_uvw(f, model.points, fields[i])
     print(f"replayed {nsteps} timesteps (dt={dt:.6g} s, period="
           f"{model.period:.6g} s, {model.num_modes} modes, "
           f"{model.num_points} points) -> {args.outdir}/")
