@@ -94,6 +94,53 @@ def _save(fig, path: str) -> str:
     return path + ".png"
 
 
+def arrow_field(y, t, dx, dy, path: str, xlabel: str = "", ylabel: str = ""):
+    """Per-point arrows (nplotlib.arrow, 250-260): one arrow from (t_i, y_i)
+    along (dy_i, dx_i), equal aspect."""
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for ti, yi, dxi, dyi in zip(t, y, dx, dy):
+        ax.arrow(ti, yi, dyi, dxi, length_includes_head=True,
+                 head_width=0.001, head_length=0.001, width=0.0001,
+                 fc="k", ec="k")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_aspect("equal")
+    return _save(fig, path)
+
+
+def arc_arrow(y, t, dx, dy, path: str, xlabel: str = "", ylabel: str = ""):
+    """Arcs about the origin with arrowheads (nplotlib.arcarrow, 262-288):
+    per point, an elliptical arc from angle atan2(y, dx) to atan2(y+dx,
+    t+dy) plus a tangential head arrow."""
+    from matplotlib.patches import Arc
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for ti, yi, dxi, dyi in zip(t, y, dx, dy):
+        t2 = ti + dyi
+        x2 = yi + dxi
+        ax.add_patch(Arc((0, 0), 2 * ti, 2 * x2,
+                         theta1=np.arctan2(yi, dxi) * 180.0 / np.pi,
+                         theta2=np.arctan2(x2, t2) * 180.0 / np.pi,
+                         edgecolor="k"))
+        ax.arrow(t2 + 0.001, x2, -0.0001 * x2, 0.0001 * t2,
+                 length_includes_head=False, head_width=0.001,
+                 head_length=0.001, width=0.0001, fc="k", ec="k")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    return _save(fig, path)
+
+
+def plot_with_point(x, y, px, py, path: str, xlabel: str = "",
+                    ylabel: str = ""):
+    """Line plot with scatter-marked points (nplotlib.plotwithpoint, 369)."""
+    fig, ax = plt.subplots()
+    ax.scatter(px, py)
+    ax.plot(x, y)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    return _save(fig, path)
+
+
 def plot(x, y, path: str, xlabel: str = "", ylabel: str = "", title: str = ""):
     """General x-y line plot (nplotlib.plot, 163)."""
     fig, ax = plt.subplots()

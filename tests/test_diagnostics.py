@@ -36,6 +36,11 @@ def test_all_plot_helpers_write_png(tmp_path, rng):
     _png_ok(plots.contourf_quiver(Y, Z, F, F, -F, f"{out}/cq"))
     _png_ok(plots.contourf_contour(Y, Z, F, F, f"{out}/cc"))
     _png_ok(plots.scatter_3d(t, y, t * y, f"{out}/s3d", c=y))
+    d = 0.01 * rng.standard_normal((2, t.shape[0]))
+    _png_ok(plots.arrow_field(y, t, d[0], d[1], f"{out}/arrow"))
+    _png_ok(plots.arc_arrow(np.abs(y) + 0.1, 1 + t, d[0], d[1],
+                            f"{out}/arc"))
+    _png_ok(plots.plot_with_point(t, y, t[::5], y[::5], f"{out}/pwp"))
 
 
 def test_render_field_variants(tmp_path, rng):
