@@ -37,6 +37,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache: repeat invocations (and timeout-split runs)
+# reuse compiled executables instead of re-paying tunnel compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +100,31 @@ def split_pipeline(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
         out_shape=jax.ShapeDtypeStruct((total, jma, kma), jnp.float32),
     )(noise, bzT, byM)
     return out.reshape(num_components, num_slabs, jma, kma)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components", "noise_dtype"))
+def noise_only(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
+               noise_dtype=jnp.bfloat16):
+    """Kernel A alone (plus a cheap reduce so nothing is DCE'd): isolates
+    the VPU PRNG + HBM-write cost for the decomposition write-up."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    total = num_components * num_slabs
+    noise = pl.pallas_call(
+        pf._noise_kernel_body,
+        grid=(total,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jn, kn), noise_dtype),
+    )(seed_arr)
+    return jnp.sum(noise[:, ::64, ::64].astype(jnp.float32), keepdims=True) \
+        * jnp.ones((num_components, num_slabs, 1, 1), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
@@ -157,7 +188,10 @@ def timed(fn, *args, label=""):
 
 def main():
     num_slabs = NSTEPS + 2 * NF
-    for jma in (512, 256):
+    sizes = tuple(int(s) for s in
+                  os.environ.get("EXP_SIZES", "512,256").split(","))
+    variants = os.environ.get("EXP_VARIANTS", "base,f32,bf16,xla").split(",")
+    for jma in sizes:
         kma = jma
         print(f"=== plane {jma}x{kma}, {num_slabs} slabs x3 comps ===",
               flush=True)
@@ -166,27 +200,42 @@ def main():
         BzT = filters.toeplitz_band(bz, kma).T.astype(jnp.bfloat16)
         seed_arr = jnp.asarray([[1, 0, num_slabs]], jnp.int32)
 
-        base = pf._fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs,
-                                 jma=jma, kma=kma, num_components=3)
-        sp32 = split_pipeline(seed_arr, BzT, ByM, num_slabs=num_slabs,
-                              jma=jma, kma=kma, num_components=3,
-                              noise_dtype=jnp.float32)
-        # identical stream ids -> f32-noise split must be bitwise-close
-        err = float(jnp.max(jnp.abs(base - sp32)))
-        print(f"split_f32 max abs diff vs base: {err:.2e}", flush=True)
+        if "base" in variants and "f32" in variants:
+            base = pf._fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs,
+                                     jma=jma, kma=kma, num_components=3)
+            sp32 = split_pipeline(seed_arr, BzT, ByM, num_slabs=num_slabs,
+                                  jma=jma, kma=kma, num_components=3,
+                                  noise_dtype=jnp.float32)
+            # identical stream ids -> f32-noise split must be bitwise-close
+            err = float(jnp.max(jnp.abs(base - sp32)))
+            print(f"split_f32 max abs diff vs base: {err:.2e}", flush=True)
 
-        t0 = timed(make_loop(pf._fused_spatial, BzT, ByM, num_slabs,
-                             jma, kma), jnp.int32(1), label="base (fused)")
-        t1 = timed(make_loop(split_pipeline, BzT, ByM, num_slabs, jma, kma,
-                             noise_dtype=jnp.float32),
-                   jnp.int32(1), label="split_f32")
-        t2 = timed(make_loop(split_pipeline, BzT, ByM, num_slabs, jma, kma,
-                             noise_dtype=jnp.bfloat16),
-                   jnp.int32(1), label="split_bf16")
-        t3 = timed(make_loop(xla_rng_pipeline, BzT, ByM, num_slabs,
-                             jma, kma), jnp.int32(1), label="xla_rng")
-        best = min(t1, t2, t3)
-        print(f"best speedup vs base: {t0 / best:.3f}x", flush=True)
+        ts = {}
+        if "base" in variants:
+            ts["base"] = timed(make_loop(pf._fused_spatial, BzT, ByM,
+                                         num_slabs, jma, kma),
+                               jnp.int32(1), label="base (fused)")
+        if "f32" in variants:
+            ts["f32"] = timed(make_loop(split_pipeline, BzT, ByM, num_slabs,
+                                        jma, kma, noise_dtype=jnp.float32),
+                              jnp.int32(1), label="split_f32")
+        if "bf16" in variants:
+            ts["bf16"] = timed(make_loop(split_pipeline, BzT, ByM, num_slabs,
+                                         jma, kma, noise_dtype=jnp.bfloat16),
+                               jnp.int32(1), label="split_bf16")
+        if "xla" in variants:
+            ts["xla"] = timed(make_loop(xla_rng_pipeline, BzT, ByM,
+                                        num_slabs, jma, kma),
+                              jnp.int32(1), label="xla_rng")
+        if "noise" in variants:
+            ts["noise"] = timed(make_loop(noise_only, BzT, ByM, num_slabs,
+                                          jma, kma,
+                                          noise_dtype=jnp.bfloat16),
+                                jnp.int32(1), label="noise_only (bf16)")
+        if "base" in ts and len(ts) > 1:
+            best = min(v for k, v in ts.items() if k != "base")
+            print(f"best speedup vs base: {ts['base'] / best:.3f}x",
+                  flush=True)
     return 0
 
 

@@ -88,3 +88,47 @@ def test_g17_roundtrip(tmp_path):
     assert native.write_rows_g17(path, "w", rows)
     back = np.loadtxt(path)
     np.testing.assert_array_equal(back, rows)   # %.17g round-trips exactly
+
+
+def test_solver_stub_links_and_runs(tmp_path):
+    """examples/solver_inlet_stub.c — the documented solver integration —
+    compiles against podfs_replay.h, links libpodfs_replay.so, and replays
+    a freshly generated model (link-level test of the public C API)."""
+    import os
+    import shutil
+    import subprocess
+
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        pytest.skip("no C compiler")
+
+    from pods_digital_filter_tpu.config import (
+        FilterConfig, PipelineConfig, PlaneConfig, PODFSConfig)
+    from pods_digital_filter_tpu.pipeline import run_pipeline
+
+    outdir = str(tmp_path / "PODFS")
+    run_pipeline(PipelineConfig(
+        plane=PlaneConfig(jma=6, kma=5, res=0.1),
+        filt=FilterConfig(length_scale_x=1.5, length_scale_y=1.5,
+                          length_scale_z=1.5, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=3, energy_target=0.9),
+        nsteps=6, outdir=outdir, dtype="float64"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ndir = os.path.join(repo, "pods_digital_filter_tpu", "native")
+    lib = str(tmp_path / "libpodfs_replay.so")
+    exe = str(tmp_path / "solver_stub")
+    subprocess.run([cc, "-O2", "-shared", "-fPIC",
+                    os.path.join(ndir, "podfs_replay.c"), "-o", lib, "-lm"],
+                   check=True, capture_output=True, timeout=120)
+    subprocess.run([cc, "-O2", os.path.join(repo, "examples",
+                                            "solver_inlet_stub.c"),
+                    "-o", exe, "-I", ndir, "-L", str(tmp_path),
+                    "-lpodfs_replay", "-lm",
+                    f"-Wl,-rpath,{tmp_path}"],
+                   check=True, capture_output=True, timeout=120)
+    out = subprocess.run([exe, outdir, "5"], capture_output=True, text=True,
+                         timeout=60)
+    assert out.returncode == 0, out.stderr
+    assert "OK np=30 nvars=3 nm=3" in out.stdout
+    assert out.stdout.count("step ") == 5
