@@ -102,10 +102,77 @@ def split_pipeline(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
     return out.reshape(num_components, num_slabs, jma, kma)
 
 
+def _noise_body_bitcast16(params_ref, out_ref):
+    """16-bit unpack WITHOUT the lane-axis concatenate: bitcast a
+    (jn/2, kn) uint32 draw straight to (jn, kn) int16 (pltpu.bitcast
+    unpacks along the second-minor dim) — the halves land interleaved
+    along j (statistically irrelevant) with zero shuffles."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    slab = params_ref[0, 1] + pid % num_slabs
+    stream = comp * jnp.int32(1 << 22) + slab
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    v16 = pltpu.bitcast(pltpu.prng_random_bits((jn // 2, kn)), jnp.int16)
+    x = v16.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def _noise_body_full32(params_ref, out_ref):
+    """Full 32-bit draw per value (no unpack at all) — isolates whether the
+    unpack/concat or the raw PRNG dominates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    slab = params_ref[0, 1] + pid % num_slabs
+    stream = comp * jnp.int32(1 << 22) + slab
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn)), jnp.int32)
+    x = bits.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 * 2.0 ** -32)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def _noise_body_seed_once(params_ref, out_ref):
+    """Seed only on the first grid step (continuous stream thereafter) —
+    isolates the per-step cost of pltpu.prng_seed itself.  NOT
+    counter-indexed; measurement-only."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _seed():
+        pltpu.prng_seed(params_ref[0, 0])
+
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    bits = pltpu.bitcast(pltpu.prng_random_bits((jn, kn // 2)), jnp.int32)
+    lo = jnp.bitwise_and(bits, jnp.int32(0xFFFF)) - jnp.int32(32768)
+    hi = jax.lax.shift_right_arithmetic(bits, 16)
+    v = jnp.concatenate([lo, hi], axis=1)
+    x = v.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+_NOISE_BODIES = {"noise": pf._noise_kernel_body,
+                 "noise16b": _noise_body_bitcast16,
+                 "noise32": _noise_body_full32,
+                 "noise1seed": _noise_body_seed_once}
+
+
 @functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
-                                             "num_components", "noise_dtype"))
+                                             "num_components", "noise_dtype",
+                                             "body"))
 def noise_only(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
-               noise_dtype=jnp.bfloat16):
+               noise_dtype=jnp.bfloat16, body="noise"):
     """Kernel A alone (plus a cheap reduce so nothing is DCE'd): isolates
     the VPU PRNG + HBM-write cost for the decomposition write-up."""
     from jax.experimental import pallas as pl
@@ -115,7 +182,7 @@ def noise_only(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
     jn = byM.shape[1]
     total = num_components * num_slabs
     noise = pl.pallas_call(
-        pf._noise_kernel_body,
+        _NOISE_BODIES[body],
         grid=(total,),
         in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
@@ -227,11 +294,12 @@ def main():
             ts["xla"] = timed(make_loop(xla_rng_pipeline, BzT, ByM,
                                         num_slabs, jma, kma),
                               jnp.int32(1), label="xla_rng")
-        if "noise" in variants:
-            ts["noise"] = timed(make_loop(noise_only, BzT, ByM, num_slabs,
-                                          jma, kma,
-                                          noise_dtype=jnp.bfloat16),
-                                jnp.int32(1), label="noise_only (bf16)")
+        for nb in ("noise", "noise16b", "noise32", "noise1seed"):
+            if nb in variants:
+                ts[nb] = timed(make_loop(noise_only, BzT, ByM, num_slabs,
+                                         jma, kma, noise_dtype=jnp.bfloat16,
+                                         body=nb),
+                               jnp.int32(1), label=f"{nb}_only (bf16)")
         if "base" in ts and len(ts) > 1:
             best = min(v for k, v in ts.items() if k != "base")
             print(f"best speedup vs base: {ts['base'] / best:.3f}x",

@@ -59,3 +59,42 @@ def test_compress_cli_roundtrip(tmp_path):
     # mean of the constructed data is 1.0 everywhere
     vals = [float(v) for v in lines[11].split(",")[3:]]
     np.testing.assert_allclose(vals, 1.0, atol=1e-5)
+
+
+def test_compress_cli_multivar(tmp_path):
+    """--vars through the CLI: a velocity + 2-scalar model exports with the
+    right columns and replays through both evaluators."""
+    npts, ns = 8, 10
+    rng = np.random.RandomState(3)
+    A = 1.0 + 0.1 * rng.randn(5 * npts, ns)
+    write_inflow_data(A, npts, 5, str(tmp_path))
+    pts = rng.rand(npts, 3)
+    np.savetxt(str(tmp_path / "points.txt"), pts)
+    rc = compress.main([
+        "--input-dir", str(tmp_path), "--num-snapshots", str(ns),
+        "--num-cells", str(npts), "--dt", "0.5",
+        "--points", str(tmp_path / "points.txt"),
+        "--vars", "velocity:3,k,epsilon",
+        "-m", "3", "--outdir", str(tmp_path / "out"), "-5",
+    ])
+    assert rc == 0
+
+    from pods_digital_filter_tpu import replay
+
+    m = replay.load_prf(str(tmp_path / "out"))
+    assert m.num_slots == 5
+    assert m.columns == ("u", "v", "w", "k", "epsilon")
+    h = replay.load_hdf5(str(tmp_path / "out" / "PODFS.hdf5"))
+    np.testing.assert_allclose(h.mean, m.mean, atol=1e-11)
+    u = replay.Replayer(m)(0.25)
+    assert u.shape == (npts, 5)
+
+    # mismatched --num-components is rejected loudly
+    import pytest
+    with pytest.raises(ValueError, match="num-components"):
+        compress.main([
+            "--input-dir", str(tmp_path), "--num-snapshots", str(ns),
+            "--num-cells", str(npts), "--dt", "0.5",
+            "--num-components", "3", "--vars", "velocity:3,k",
+            "--outdir", str(tmp_path / "out2"),
+        ])
