@@ -49,7 +49,7 @@ import numpy as np
 from pods_digital_filter_tpu.ops import filters
 from pods_digital_filter_tpu.ops import pallas_filter as pf
 
-NF = 8
+NF = int(os.environ.get("EXP_NF", "8"))
 LN = 4.0
 NSTEPS = 64
 REPS = 8
@@ -162,10 +162,238 @@ def _noise_body_seed_once(params_ref, out_ref):
     out_ref[0] = x.astype(out_ref.dtype)
 
 
+def _noise_body_noprng(params_ref, out_ref):
+    """No PRNG at all — same casts/scale/store fed from an iota.  If this
+    is as slow as the PRNG bodies the cost is the store/grid machinery;
+    if it is fast, the prng_random_bits call itself is the cost."""
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0)
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    bits = jax.lax.broadcasted_iota(jnp.int32, (jn, kn), 1) * (pid + 1)
+    x = bits.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 * 2.0 ** -32)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def _noise_body_minimal(params_ref, out_ref):
+    """Minimum elementwise work per noise value: bitcast the draw to int16
+    and cast once to bf16 (the 2*sqrt(3)/65536 scale folds into the GEMM
+    taps — linear, exact).  One cast + one store per element vs the
+    production body's cast/mul/cast/store."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    slab = params_ref[0, 1] + pid % num_slabs
+    stream = comp * jnp.int32(1 << 22) + slab
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    v16 = pltpu.bitcast(pltpu.prng_random_bits((jn // 2, kn)), jnp.int16)
+    out_ref[0] = v16.astype(out_ref.dtype)
+
+
+def _noise_body_store_only(params_ref, out_ref):
+    """Pure constant store — the floor of any per-slab kernel."""
+    jn, kn = out_ref.shape[1], out_ref.shape[2]
+    out_ref[0] = jnp.full((jn, kn), 0.5, out_ref.dtype)
+
+
+def _fused_body_noprng(params_ref, bzT_ref, byM_ref, out_ref):
+    """The production fused body with the PRNG phase replaced by an iota
+    (same unpack-less f32 path, both GEMMs kept): isolates the PRNG+unpack
+    cost INSIDE the fused kernel."""
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0)
+    jn = byM_ref.shape[1]
+    kn = bzT_ref.shape[0]
+    v = jax.lax.broadcasted_iota(jnp.int32, (jn, kn), 1) * (pid + 1)
+    x = v.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    t = jnp.dot(x.astype(bzT_ref.dtype), bzT_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(byM_ref[:], t.astype(byM_ref.dtype),
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components"))
+def fused_noprng(seed_arr, bzT, byM, num_slabs, jma, kma, num_components):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    total = num_components * num_slabs
+    out = pl.pallas_call(
+        _fused_body_noprng,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jma, kma), jnp.float32),
+    )(seed_arr, bzT, byM)
+    return out.reshape(num_components, num_slabs, jma, kma)
+
+
+def _fused_body_dummy_in(params_ref, dummy_ref, bzT_ref, byM_ref, out_ref):
+    """Production fused body + one tiny VMEM input block whose index_map
+    cycles with the grid step: probes whether a cycling VMEM input flips
+    Mosaic into pipelined (double-buffered) grid execution."""
+    _kernel = pf._kernel_body
+    _kernel(params_ref, bzT_ref, byM_ref, out_ref)
+    out_ref[0, :8, :128] += dummy_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components"))
+def fused_dummy_in(seed_arr, bzT, byM, num_slabs, jma, kma, num_components):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    total = num_components * num_slabs
+    dummy = jnp.zeros((total, 8, 128), jnp.float32)
+    out = pl.pallas_call(
+        _fused_body_dummy_in,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jma, kma), jnp.float32),
+    )(seed_arr, dummy, bzT, byM)
+    return out.reshape(num_components, num_slabs, jma, kma)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components"))
+def gemm_only(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
+              noise=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    total = num_components * num_slabs
+    if noise is None:
+        noise = jnp.zeros((total, jn, kn), bzT.dtype) + seed_arr[0, 0]
+    out = pl.pallas_call(
+        _kernel_gemms,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, jn, kn), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jma, kma), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, jma, kma), jnp.float32),
+    )(noise, bzT, byM)
+    return out.reshape(num_components, num_slabs, jma, kma)
+
+
+def _store2d_body(params_ref, out_ref):
+    """Store-only with a 2-D (jma, kma) output block (no leading unit dim):
+    probes whether the (1, j, k) block shape itself causes the per-element
+    floor."""
+    jn, kn = out_ref.shape
+    out_ref[...] = jnp.full((jn, kn), 0.5, out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components"))
+def store2d(seed_arr, bzT, byM, num_slabs, jma, kma, num_components):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    total = num_components * num_slabs
+    out = pl.pallas_call(
+        _store2d_body,
+        grid=(total,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((jma, kma), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((jma, total * kma), jnp.float32),
+    )(seed_arr)
+    return out[:, ::257] * seed_arr[0, 0]
+
+
 _NOISE_BODIES = {"noise": pf._noise_kernel_body,
                  "noise16b": _noise_body_bitcast16,
                  "noise32": _noise_body_full32,
-                 "noise1seed": _noise_body_seed_once}
+                 "noise1seed": _noise_body_seed_once,
+                 "noprng": _noise_body_noprng,
+                 "noisemin": _noise_body_minimal,
+                 "storeonly": _noise_body_store_only}
+
+
+def _noise_body_batched(params_ref, out_ref):
+    """G slabs per grid step, one seed + one big draw: divides any
+    per-grid-step fixed cost by G."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    g, jn, kn = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    num_groups = params_ref[0, 2]
+    comp = pid // num_groups
+    group = params_ref[0, 1] + pid % num_groups
+    stream = comp * jnp.int32(1 << 22) + group
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((g, jn, kn // 2)), jnp.int32)
+    lo = jnp.bitwise_and(bits, jnp.int32(0xFFFF)) - jnp.int32(32768)
+    hi = jax.lax.shift_right_arithmetic(bits, 16)
+    v = jnp.concatenate([lo, hi], axis=2)
+    x = v.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components", "noise_dtype",
+                                             "g"))
+def noise_batched(seed_arr, bzT, byM, num_slabs, jma, kma, num_components,
+                  noise_dtype=jnp.bfloat16, g=4):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    groups = (num_components * num_slabs) // g
+    params = jnp.concatenate(
+        [seed_arr[:, :2],
+         jnp.asarray([[groups // num_components]], jnp.int32)], axis=1)
+    noise = pl.pallas_call(
+        _noise_body_batched,
+        grid=(groups,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, g, jn, kn), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((groups, g, jn, kn), noise_dtype),
+    )(params)
+    return jnp.sum(noise[:, :, ::64, ::64].astype(jnp.float32),
+                   keepdims=True) \
+        * jnp.ones((num_components, num_slabs, 1, 1), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
@@ -294,12 +522,38 @@ def main():
             ts["xla"] = timed(make_loop(xla_rng_pipeline, BzT, ByM,
                                         num_slabs, jma, kma),
                               jnp.int32(1), label="xla_rng")
-        for nb in ("noise", "noise16b", "noise32", "noise1seed"):
+        for nb in ("noise", "noise16b", "noise32", "noise1seed", "noprng", "noisemin", "storeonly"):
             if nb in variants:
                 ts[nb] = timed(make_loop(noise_only, BzT, ByM, num_slabs,
                                          jma, kma, noise_dtype=jnp.bfloat16,
                                          body=nb),
                                jnp.int32(1), label=f"{nb}_only (bf16)")
+        if "store2d" in variants:
+            ts["store2d"] = timed(
+                make_loop(store2d, BzT, ByM, num_slabs, jma, kma),
+                jnp.int32(1), label="store2d (jma, kma) blocks")
+        if "fuseddummy" in variants:
+            ts["fuseddummy"] = timed(
+                make_loop(fused_dummy_in, BzT, ByM, num_slabs, jma, kma),
+                jnp.int32(1), label="fused+dummy_vmem_in")
+        if "gemmonly" in variants:
+            ts["gemmonly"] = timed(
+                make_loop(gemm_only, BzT, ByM, num_slabs, jma, kma),
+                jnp.int32(1), label="gemm_only (zeros noise)")
+        if "fusednoprng" in variants:
+            ts["fusednoprng"] = timed(
+                make_loop(fused_noprng, BzT, ByM, num_slabs, jma, kma),
+                jnp.int32(1), label="fused_noprng")
+        if "storef32" in variants:
+            ts["storef32"] = timed(
+                make_loop(noise_only, BzT, ByM, num_slabs, jma, kma,
+                          noise_dtype=jnp.float32, body="storeonly"),
+                jnp.int32(1), label="storeonly_f32")
+        if "noisebatch" in variants:
+            ts["noisebatch"] = timed(
+                make_loop(noise_batched, BzT, ByM, num_slabs, jma, kma,
+                          noise_dtype=jnp.bfloat16, g=4),
+                jnp.int32(1), label="noise_batched_g4 (bf16)")
         if "base" in ts and len(ts) > 1:
             best = min(v for k, v in ts.items() if k != "base")
             print(f"best speedup vs base: {ts['base'] / best:.3f}x",
