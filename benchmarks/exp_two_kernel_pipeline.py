@@ -561,5 +561,147 @@ def main():
     return 0
 
 
+
+
+# --------------------------------------------------------------------------
+# In-kernel temporal FIR: ring buffer of spatially-filtered slabs in VMEM
+# --------------------------------------------------------------------------
+
+def _fused_temporal_body(params_ref, bzT_ref, byM_ref, bx_ref, out_ref,
+                         ring_ref):
+    """Per grid step: draw + both spatial GEMMs (as production), push the
+    slab into a 17-deep bf16 VMEM ring, and for steps past the warm-up emit
+    the temporally-filtered slab y = sum_i bx[i] * ring[s-16+i].  The
+    kernel then outputs only the nsteps valid slabs and the XLA epilogue
+    loses its big FIR pass."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    s = pid % num_slabs
+    stream = comp * jnp.int32(1 << 22) + (params_ref[0, 1] + s)
+    pltpu.prng_seed(params_ref[0, 0] + stream * jnp.int32(-1640531527))
+    jn = byM_ref.shape[1]
+    kn = bzT_ref.shape[0]
+    depth = ring_ref.shape[0]
+
+    v16 = pltpu.bitcast(pltpu.prng_random_bits((jn // 2, kn)), jnp.int16)
+    x = v16.astype(bzT_ref.dtype)         # scale folded into byM
+    t = jnp.dot(x, bzT_ref[:], preferred_element_type=jnp.float32)
+    z = jnp.dot(byM_ref[:], t.astype(byM_ref.dtype),
+                preferred_element_type=jnp.float32)
+    ring_ref[s % depth] = z.astype(ring_ref.dtype)
+
+    @pl.when(s >= depth - 1)
+    def _emit():
+        def body(i, acc):
+            return acc + bx_ref[0, i] * ring_ref[
+                (s - (depth - 1) + i) % depth].astype(jnp.float32)
+
+        out_ref[0] = jax.lax.fori_loop(
+            0, depth, body, jnp.zeros_like(out_ref[0]))
+
+    @pl.when(s < depth - 1)
+    def _warmup():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "jma", "kma",
+                                             "num_components", "depth"))
+def fused_temporal(seed_arr, bzT, byM, bx, num_slabs, jma, kma,
+                   num_components, depth):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    jn = byM.shape[1]
+    nsteps = num_slabs - (depth - 1)
+    total = num_components * num_slabs
+
+    def out_map(i):
+        c = i // num_slabs
+        s = i % num_slabs
+        return (c, jnp.maximum(s - (depth - 1), 0), 0, 0)
+
+    out = pl.pallas_call(
+        _fused_temporal_body,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((kn, kma), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jma, jn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, depth), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, jma, kma), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_components, nsteps, jma, kma), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((depth, jma, kma), jnp.bfloat16)],
+    )(seed_arr, bzT, byM, bx)
+    return out
+
+
+def run_fused_temporal():
+    num_slabs = NSTEPS + 2 * NF
+    depth = 2 * NF + 1
+    jma = kma = int(os.environ.get("EXP_SIZES", "512").split(",")[0])
+    bz = filters.gaussian_fir_coeffs(NF, LN, jnp.float32)
+    bx = jnp.asarray(bz, jnp.float32)[None, :]
+    alpha = jnp.float32(2.0 * _SQRT3 / 65536.0)
+    ByM = (filters.toeplitz_band(bz, jma) * alpha).astype(jnp.bfloat16)
+    BzT = filters.toeplitz_band(bz, kma).T.astype(jnp.bfloat16)
+    seed_arr = jnp.asarray([[1, 0, num_slabs]], jnp.int32)
+
+    y = fused_temporal(seed_arr, BzT, ByM, bx, num_slabs=num_slabs,
+                       jma=jma, kma=kma, num_components=3, depth=depth)
+    y = np.asarray(y)
+    print("fused_temporal out", y.shape, "mean", y.mean(), "var", y.var(),
+          flush=True)
+
+    @jax.jit
+    def loop(seed0):
+        def body(acc, i):
+            params = jnp.stack(
+                [seed0 + i, jnp.int32(0), jnp.int32(num_slabs)])[None, :]
+            z = fused_temporal(params, BzT, ByM, bx, num_slabs=num_slabs,
+                               jma=jma, kma=kma, num_components=3,
+                               depth=depth)
+            return acc + jnp.sum(z), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(REPS, dtype=jnp.int32))
+        return acc
+
+    timed(loop, jnp.int32(1), label="fused_temporal (FIR in-kernel)")
+
+    # reference: production kernel + XLA temporal FIR epilogue
+    ByM2 = filters.toeplitz_band(bz, jma).astype(jnp.bfloat16)
+
+    @jax.jit
+    def loop_base(seed0):
+        def body(acc, i):
+            params = jnp.stack(
+                [seed0 + i, jnp.int32(0), jnp.int32(num_slabs)])[None, :]
+            z = pf._fused_spatial(params, BzT, ByM2, num_slabs=num_slabs,
+                                  jma=jma, kma=kma, num_components=3)
+            yb = filters.filter_temporal(z, bz, axis=-3)
+            return acc + jnp.sum(yb), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(REPS, dtype=jnp.int32))
+        return acc
+
+    timed(loop_base, jnp.int32(1), label="base + XLA temporal FIR")
+
+
+
 if __name__ == "__main__":
+    if os.environ.get("EXP_TEMPORAL") == "1":
+        run_fused_temporal()
+        sys.exit(0)
     sys.exit(main())
