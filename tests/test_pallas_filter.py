@@ -94,6 +94,10 @@ def test_vmem_guard_falls_back():
 _TPU_STAT_SCRIPT = r"""
 import json
 import numpy as np
+import jax
+# persistent cache: repeat suite runs skip the multi-minute tunnel compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from pods_digital_filter_tpu.ops import pallas_filter as pf
 
