@@ -20,7 +20,7 @@ TPU hardware:
   compatible with the reference (``docs/usage/CFDCodeIntegration.rst:26-74``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 PROG = "pods-digital-filter-tpu"
 
