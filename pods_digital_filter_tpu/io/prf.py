@@ -74,6 +74,19 @@ def _write_points_uvw(f, points: np.ndarray, u: np.ndarray):
     )
 
 
+def write_field_prf(path: str, name: str, points: np.ndarray, u: np.ndarray,
+                    normal=(1.0, 0.0, 0.0), plane_rhs: float = 0.0,
+                    columns=("u", "v", "w")) -> str:
+    """Public general-purpose ``.prf`` writer: header + ``x,y,z,<columns>``
+    rows for an arbitrary point cloud and (Np, ncols) field — the building
+    block behind the snapshot/mean/mode writers, exposed for external tools
+    (e.g. the replay CLI's ``--format prf`` output)."""
+    with open(path, "w") as f:
+        f.write(_prf_header(name, normal, plane_rhs, columns=columns))
+        _write_points_uvw(f, np.asarray(points), np.asarray(u))
+    return path
+
+
 def write_snapshot_prf(outdir: str, time: float, packed_u: np.ndarray, geom: PlaneGeometry,
                        normal, origin) -> str:
     """Per-step snapshot profile (reference ``save_plane``): file name is the

@@ -128,25 +128,34 @@ def _ring_index(axiseg: int, rseg: int, aziseg: int) -> np.ndarray:
     return 1 + jj * (rseg * aziseg + 1) + k * aziseg + m
 
 
-@jax.jit
-def _azimuthal_energies(u, theta):
-    """Batched trapezoid-DFT: ``u (P, jj, k, m)`` ring samples,
-    ``theta (jj, k, m)`` -> ``|trapz(u * exp(-1j n theta), theta)|^2`` of
-    shape (P, jj, k, n) for all n < aziseg.  The per-(n, sample) host loop of
-    the reference becomes two real MXU contractions (cos/sin), which also
-    sidesteps complex-transfer limits of the TPU tunnel backend."""
-    # trapezoid quadrature weights over the (nonuniform) theta samples:
-    # c_0 = (t1-t0)/2, c_last = (t_end - t_end-1)/2, else (t_m+1 - t_m-1)/2
+def _azimuthal_weight_phases(theta: np.ndarray):
+    """Trapezoid quadrature weights folded into cos/sin phase tables —
+    computed HOST-SIDE in float64: the phase ``n*theta`` grows to
+    ``O(aziseg * 2pi)``, so forming it in float32 (the device default when
+    x64 is off) costs ~1e-4 rad of phase error at high mode numbers.  Only
+    the contraction (which sums aziseg terms — benign in f32) runs on
+    device.  Weights: c_0 = (t1-t0)/2, c_last = (t_end - t_{end-1})/2, else
+    (t_{m+1} - t_{m-1})/2."""
+    theta = np.asarray(theta, dtype=np.float64)
     dt = theta[..., 1:] - theta[..., :-1]
-    c = jnp.concatenate([
+    c = np.concatenate([
         dt[..., :1] * 0.5,
         (theta[..., 2:] - theta[..., :-2]) * 0.5,
         dt[..., -1:] * 0.5,
     ], axis=-1)                                       # (jj, k, m)
-    n = jnp.arange(theta.shape[-1], dtype=theta.dtype)
+    n = np.arange(theta.shape[-1], dtype=np.float64)
     ph = n[:, None] * theta[..., None, :]             # (jj, k, n, m)
-    cu = c[..., None, :] * jnp.cos(ph)
-    su = c[..., None, :] * jnp.sin(ph)
+    return c[..., None, :] * np.cos(ph), c[..., None, :] * np.sin(ph)
+
+
+@jax.jit
+def _azimuthal_energies(u, cu, su):
+    """Batched trapezoid-DFT contraction: ``u (P, jj, k, m)`` ring samples
+    against the precomputed weighted cos/sin phases ``cu/su (jj, k, n, m)``
+    -> ``|trapz(u * exp(-1j n theta), theta)|^2`` of shape (P, jj, k, n) for
+    all n < aziseg.  The per-(n, sample) host loop of the reference becomes
+    two real MXU contractions (cos/sin), which also sidesteps
+    complex-transfer limits of the TPU tunnel backend."""
     re = jnp.einsum("pjkm,jknm->pjkn", u, cu)
     im = -jnp.einsum("pjkm,jknm->pjkn", u, su)
     return re * re + im * im
@@ -173,10 +182,11 @@ def azimuthal_fourier_series(u, r, theta, x, nc: int, axiseg: int, rseg: int, az
         u = np.concatenate([u, mag], axis=1)
 
     idx = _ring_index(axiseg, rseg, aziseg)
-    theta_r = jnp.asarray(np.asarray(theta, dtype=np.float64)[idx])
+    cu, su = _azimuthal_weight_phases(np.asarray(theta, dtype=np.float64)[idx])
     u_r = jnp.asarray(u.T[:, idx])                    # (ncomp, jj, k, m)
     m_array = np.zeros((nc + 1, axiseg, rseg, aziseg), dtype=np.float64)
-    m_array[:u_r.shape[0]] = np.asarray(_azimuthal_energies(u_r, theta_r))
+    m_array[:u_r.shape[0]] = np.asarray(
+        _azimuthal_energies(u_r, jnp.asarray(cu), jnp.asarray(su)))
     x_array = np.asarray(x, dtype=np.float64)[idx[..., -1]]
     r_array = np.asarray(r, dtype=np.float64)[idx[..., -1]]
     return m_array, x_array, r_array

@@ -82,12 +82,15 @@ def _colsum_fields(X):
 
 @jax.jit
 def _pair_products_fields(Xi, Xj, m):
-    """Gram tile + g segment in field layout: contraction over (c, j, k)
-    lowers to per-'s'-shard partials + an all-reduce over the mesh."""
-    Cij = jnp.einsum("ctjk,cujk->tu", Xi, Xj,
-                     preferred_element_type=Xi.dtype)
-    gj = jnp.einsum("cujk,cjk->u", Xj, m, preferred_element_type=Xi.dtype)
-    return Cij, gj
+    """Centered Gram tile in field layout: blocks are mean-subtracted on
+    device before the contraction over (c, j, k), which lowers to
+    per-'s'-shard partials + an all-reduce over the mesh.  Centering first
+    (not raw products + rank-1 correction) keeps full f32 significance when
+    the mean dominates — see streaming.py module docstring."""
+    Xi = Xi - m[:, None]
+    Xj = Xj - m[:, None]
+    return jnp.einsum("ctjk,cujk->tu", Xi, Xj,
+                      preferred_element_type=Xi.dtype)
 
 
 @jax.jit
@@ -136,7 +139,7 @@ def streaming_pod_sharded(
         # the halo path's noise stream depends on the 's' axis size; the
         # exact path is mesh-independent
         extra = ("halo", mesh.shape["s"]) if halo else ()
-        store = make_gram_store(cfg, filt, rotate, block, extra=extra)
+        store = make_gram_store(cfg, filt, fields, rotate, block, extra=extra)
 
     gen_block = make_sharded_generator(cfg, fields, filt, mesh, block,
                                        rotate=rotate, halo=halo)
@@ -161,15 +164,18 @@ def streaming_pod_sharded(
             cs = _colsum_fields(gen(t0))
             s = cs if s is None else s + cs
         mean_fields = s / ns                     # (3, jma, kma) sharded 's'
-        if store is not None and jax.process_index() == 0:
-            store.save_mean(to_host(mean_fields).reshape(-1))
+        if store is not None:
+            # to_host is a cross-process collective (process_allgather):
+            # every process must execute it; only the lead writes the file
+            m_flat = to_host(mean_fields).reshape(-1)
+            if jax.process_index() == 0:
+                store.save_mean(m_flat)
         if verbose:
             print(f"sharded streaming POD: mean pass done "
                   f"({nb} blocks of {block})")
 
     # ---- pass 2: Gram (shared resumable driver) -------------------------
-    mm = float(to_host(jnp.sum(mean_fields * mean_fields)))
-    C = streamed_gram(gen, ns, block, mean_fields, mm, _pair_products_fields,
+    C = streamed_gram(gen, ns, block, mean_fields, _pair_products_fields,
                       store=store, verbose=verbose)
 
     # ---- eigen half ------------------------------------------------------
@@ -214,10 +220,15 @@ def streaming_pod_sharded(
 
 def write_snapshots_sharded_streaming(cfg, fields, filt, mesh, geom,
                                       dt: float, rotate: bool = True,
-                                      block: int = 512):
+                                      block: int = 512, write: bool = True):
     """Verbose per-step ``.prf`` export for the sharded streaming path:
     blocks are regenerated on the mesh and gathered to host one block at a
-    time (bounded memory)."""
+    time (bounded memory).
+
+    Under ``jax.distributed`` EVERY process must call this (the block
+    generation and the host gather are mesh collectives); pass
+    ``write=jax.process_index() == 0`` so only the lead emits files.
+    """
     from pods_digital_filter_tpu.io import prf as prf_io
 
     block = min(block, cfg.nsteps)
@@ -227,6 +238,8 @@ def write_snapshots_sharded_streaming(cfg, fields, filt, mesh, geom,
     for t0 in _block_starts(cfg.nsteps, block):
         X = to_host(gen_block(t0))
         n = min(block, cfg.nsteps - t0)
+        if not write:
+            continue
         c, _, jma, kma = X.shape
         A = X[:, :n].transpose(0, 2, 3, 1).reshape(c * jma * kma, n)
         for i in range(n):

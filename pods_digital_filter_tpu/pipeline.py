@@ -30,7 +30,10 @@ class PipelineResult:
     config: PipelineConfig
     dt: float
     geometry: PlaneGeometry
-    A: np.ndarray                    # (3*Np, Ns) snapshot matrix, mean removed
+    # (3*Np, Ns) centered snapshot matrix — None on the sharded/streaming
+    # paths, where A is deliberately never materialized on the host
+    # (misuse fails fast instead of returning shape-0 data)
+    A: Optional[np.ndarray]
     mean_field: np.ndarray           # (3*Np,)
     pod: pod.PODResult
     fourier: fourier.FourierResult
@@ -174,19 +177,22 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
 
     # multi-process (jax.distributed): every process runs the same SPMD
     # program; only the lead process writes model files (the reference's
-    # rank-0 gather-and-write pattern, nsigproclib_no_mpi.py:364-482)
-    if jax.process_count() > 1:
-        write_outputs = write_outputs and jax.process_index() == 0
+    # rank-0 gather-and-write pattern, nsigproclib_no_mpi.py:364-482).
+    # IMPORTANT: the sharded paths contain cross-process collectives
+    # (process_allgather inside to_host) on their output paths — those must
+    # run on EVERY process, so `write_outputs` keeps the caller's intent and
+    # `lead` gates only the host-side file writes.
+    lead = jax.process_index() == 0
 
     with timer.stage("profile"):
         fields, dt, filt, cfg, rotate = resolve_profile(cfg)
         cfg.validate()   # a .prf profile may have replaced plane dims
-        if cfg.dt == 0.0:
+        if cfg.dt == 0.0 and lead:
             print("timestep set to: ", dt, " seconds")
 
     geom = make_inflow_plane(cfg.plane)
     outdir = cfg.outdir
-    if write_outputs:
+    if write_outputs and lead:
         os.makedirs(outdir, exist_ok=True)
 
     sharded = cfg.shard_time * cfg.shard_space > 1
@@ -195,13 +201,17 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         return _run_pipeline_sharded_streaming(
             cfg, fields, dt, filt, rotate, geom, timer, files, write_outputs)
 
-    if cfg.streaming_block:
-        return _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom,
-                                       timer, files, write_outputs)
-
     if sharded:
         return _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom,
                                      timer, files, write_outputs)
+
+    # serial / single-process-streaming paths have no collectives on the
+    # write path: non-lead processes simply skip writing entirely
+    write_outputs = write_outputs and lead
+
+    if cfg.streaming_block:
+        return _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom,
+                                       timer, files, write_outputs)
 
     with timer.stage("generate"):
         if cfg.checkpoint_dir != "none":
@@ -287,9 +297,9 @@ def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
     with psum over plane tiles).  Used when --shard_time/--shard_space
     request a multi-device run.
 
-    ``PipelineResult.A`` is an empty placeholder: the snapshot matrix stays
-    sharded on the mesh and is never gathered to the host (at the flagship
-    scale it would not fit — the whole point of sharding)."""
+    ``PipelineResult.A`` is ``None``: the snapshot matrix stays sharded on
+    the mesh and is never gathered to the host (at the flagship scale it
+    would not fit — the whole point of sharding)."""
     from pods_digital_filter_tpu.parallel import mesh as mesh_lib
     from pods_digital_filter_tpu.parallel import pod as dist_pod
     from pods_digital_filter_tpu.parallel import sharding as shard_lib
@@ -323,28 +333,31 @@ def _run_pipeline_sharded(cfg, fields, dt, filt, rotate, geom, timer,
         num_valid=dp.num_valid, num_trunc=dp.num_trunc)
     mean_host = np.asarray(dp.mean_packed(), dtype=np.float64)
 
+    lead = jax.process_index() == 0
     if cfg.verbose and write_outputs:
         with timer.stage("write_snapshots"):
             # per-snapshot host transfer (one column at a time), not a
-            # full-matrix gather
+            # full-matrix gather.  pack + to_host are mesh collectives:
+            # every process executes them; only the lead writes files
             Xp = shard_lib.pack_sharded_snapshots(X, mesh)
             for i in range(cfg.nsteps):
                 col = mesh_lib.to_host(Xp[:, i])
-                files.append(prf_io.write_snapshot_prf(
-                    cfg.outdir, i * dt, col, geom,
-                    cfg.plane.normal, cfg.plane.origin))
+                if lead:
+                    files.append(prf_io.write_snapshot_prf(
+                        cfg.outdir, i * dt, col, geom,
+                        cfg.plane.normal, cfg.plane.origin))
 
     with timer.stage("fourier"):
         fr = fourier.fourier_compress(
             pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
 
-    if write_outputs:
+    if write_outputs and lead:
         with timer.stage("export"):
             _export_model(cfg, geom, pr, fr, mean_host, dt, files)
 
     return PipelineResult(
         config=cfg, dt=dt, geometry=geom,
-        A=np.zeros((mean_host.shape[0], 0)), mean_field=mean_host,
+        A=None, mean_field=mean_host,
         pod=pr, fourier=fr, files=files, timer=timer,
     )
 
@@ -369,23 +382,26 @@ def _run_pipeline_sharded_streaming(cfg, fields, dt, filt, rotate, geom,
     pr = sp.pod
     mean_host = sp.mean_field
 
+    lead = jax.process_index() == 0
     if cfg.verbose and write_outputs:
         with timer.stage("write_snapshots"):
+            # block regeneration + gather are mesh collectives — all
+            # processes run them; only the lead writes the .prf files
             files.extend(shard_streaming.write_snapshots_sharded_streaming(
                 cfg, fields, filt, mesh, geom, dt, rotate=rotate,
-                block=cfg.streaming_block))
+                block=cfg.streaming_block, write=lead))
 
     with timer.stage("fourier"):
         fr = fourier.fourier_compress(
             pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
 
-    if write_outputs:
+    if write_outputs and lead:
         with timer.stage("export"):
             _export_model(cfg, geom, pr, fr, mean_host, dt, files)
 
     return PipelineResult(
         config=cfg, dt=dt, geometry=geom,
-        A=np.zeros((mean_host.shape[0], 0)), mean_field=mean_host,
+        A=None, mean_field=mean_host,
         pod=pr, fourier=fr, files=files, timer=timer,
     )
 
@@ -394,7 +410,7 @@ def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,
                             files, write_outputs):
     """Out-of-core variant of the pipeline tail: the snapshot matrix is
     never materialized — POD runs over regenerated blocks (streaming.py).
-    ``PipelineResult.A`` is an empty (3*Np, 0) placeholder."""
+    ``PipelineResult.A`` is ``None`` (explicit absence, fails fast)."""
     from pods_digital_filter_tpu import streaming
 
     with timer.stage("streaming_pod"):
@@ -421,6 +437,6 @@ def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,
 
     return PipelineResult(
         config=cfg, dt=dt, geometry=geom,
-        A=np.zeros((mean_host.shape[0], 0)), mean_field=mean_host,
+        A=None, mean_field=mean_host,
         pod=pr, fourier=fr, files=files, timer=timer,
     )

@@ -319,16 +319,13 @@ def main(argv=None):
         np.save(os.path.join(args.outdir, "fields.npy"), fields)
         np.save(os.path.join(args.outdir, "times.npy"), ts)
     else:
-        from pods_digital_filter_tpu.io.prf import (
-            _prf_header, _write_points_uvw)
+        from pods_digital_filter_tpu.io.prf import write_field_prf
 
         for i, t in enumerate(ts):
-            path = os.path.join(args.outdir, ("%.5E" % float(t)) + ".prf")
-            with open(path, "w") as f:
-                f.write(_prf_header("Replayed from PODFS model",
-                                    (1.0, 0.0, 0.0), 0.0,
-                                    columns=model.columns))
-                _write_points_uvw(f, model.points, fields[i])
+            write_field_prf(
+                os.path.join(args.outdir, ("%.5E" % float(t)) + ".prf"),
+                "Replayed from PODFS model", model.points, fields[i],
+                columns=model.columns)
     print(f"replayed {nsteps} timesteps (dt={dt:.6g} s, period="
           f"{model.period:.6g} s, {model.num_modes} modes, "
           f"{model.num_points} points) -> {args.outdir}/")

@@ -13,9 +13,13 @@ for memory.
 Three streamed passes, holding at most two ``(3*Np, block)`` panels in HBM:
 
 1. column sums  ->  mean field ``m``;
-2. pairwise block GEMMs ``A_i^T A_j``  ->  raw Gram; centered via
-   ``(a-m).(b-m) = a.b - g[t1] - g[t2] + m.m`` with ``g = A^T m``
-   accumulated in the same pass;
+2. pairwise block GEMMs ``(A_i - m)^T (A_j - m)``  ->  centered Gram.  Each
+   regenerated block is centered *on device before* the GEMM: with a
+   dominant mean (TI ~ 2%) the centered entries are ~1e-4 of the raw
+   magnitudes, so the algebraically-equivalent raw-product + rank-1
+   correction formulation loses ~3-4 significant digits in float32 —
+   centering first keeps the full working precision
+   (tests/test_streaming.py::test_streaming_f32_mean_dominated);
 3. spatial-mode projection ``Phi = sum_b (A_b - m 1^T) M_b`` with
    ``M = T_scaled diag(1/lambda) / Ns`` (PODFS.py:1329-1333).
 
@@ -65,9 +69,11 @@ def _colsum(A):
 
 @jax.jit
 def _pair_products(Ai, Aj, m):
-    """Raw block products for the Gram pass: (Ai^T Aj, Aj^T m)."""
-    return (jnp.dot(Ai.T, Aj, preferred_element_type=Ai.dtype),
-            jnp.dot(Aj.T, m, preferred_element_type=Ai.dtype))
+    """Centered Gram tile ``(Ai - m)^T (Aj - m)`` — mean subtraction happens
+    on device before the GEMM so float32 keeps its full significance even
+    when the mean dominates the fluctuations (see module docstring)."""
+    return jnp.dot((Ai - m[:, None]).T, Aj - m[:, None],
+                   preferred_element_type=Ai.dtype)
 
 
 @jax.jit
@@ -77,32 +83,29 @@ def _project_block(phi, A, M, m):
         - jnp.outer(m, jnp.sum(M, axis=0))
 
 
-def streamed_gram(gen, ns: int, block: int, m, mm: float, pair_fn,
+def streamed_gram(gen, ns: int, block: int, m, pair_fn,
                   time_len=lambda A: A.shape[1], store=None,
                   verbose: bool = False):
     """The shared O(B^2) pairwise Gram pass over regenerated blocks.
 
     ``gen(t0)`` returns the block for steps ``[t0, min(t0+block, ns))`` in
-    whatever layout ``pair_fn(Ai, Aj, m) -> (Ai.Aj tile, Aj.m segment)``
-    consumes; ``mm = m.m``.  With a :class:`GramCheckpoint` ``store``,
-    completed row strips are loaded instead of recomputed and new rows are
-    persisted as they finish (kill-and-resume tested in
-    tests/test_streaming.py).  Returns the centered Gram
-    ``C = (A-m)^T (A-m) / ns`` as host float64.
+    whatever layout ``pair_fn(Ai, Aj, m) -> (Ai-m).(Aj-m) tile`` consumes
+    (``pair_fn`` centers on device before the contraction).  With a
+    :class:`GramCheckpoint` ``store``, completed row strips are loaded
+    instead of recomputed and new rows are persisted as they finish
+    (kill-and-resume tested in tests/test_streaming.py).  Returns the
+    centered Gram ``C = (A-m)^T (A-m) / ns`` as host float64.
     """
     from pods_digital_filter_tpu.parallel.mesh import to_host
 
     lead = jax.process_index() == 0
     starts = _block_starts(ns, block)
     nb = len(starts)
-    C_raw = np.zeros((ns, ns), dtype=np.float64)
-    g = np.zeros(ns, dtype=np.float64)
+    C = np.zeros((ns, ns), dtype=np.float64)
     for bi, ti in enumerate(starts):
         ni = min(block, ns - ti)
         if store is not None and bi in store.completed_rows:
-            strip, gseg = store.load_row(bi)
-            C_raw[ti:ti + ni, ti:] = strip
-            g[ti:ti + ni] = gseg
+            C[ti:ti + ni, ti:] = store.load_row(bi)
             if verbose:
                 print(f"streaming POD: gram row {bi + 1}/{nb} (from checkpoint)")
             continue
@@ -110,26 +113,28 @@ def streamed_gram(gen, ns: int, block: int, m, mm: float, pair_fn,
         for tj in starts[bi:]:
             Aj = Ai if tj == ti else gen(tj)
             nj = time_len(Aj)
-            Cij, gj = pair_fn(Ai, Aj, m)
-            C_raw[ti:ti + ni, tj:tj + nj] = to_host(Cij)
-            if tj == ti:
-                g[tj:tj + nj] = to_host(gj)
+            Cij = pair_fn(Ai, Aj, m)
+            C[ti:ti + ni, tj:tj + nj] = to_host(Cij)
         if store is not None and lead:
-            store.save_row(bi, C_raw[ti:ti + ni, ti:], g[ti:ti + ni])
+            store.save_row(bi, C[ti:ti + ni, ti:])
         if verbose:
             print(f"streaming POD: gram row {bi + 1}/{nb}")
     iu = np.triu_indices(ns, 1)
-    C_raw[(iu[1], iu[0])] = C_raw[iu]            # mirror upper -> lower
-    return (C_raw - g[:, None] - g[None, :] + mm) / ns
+    C[(iu[1], iu[0])] = C[iu]                    # mirror upper -> lower
+    return C / ns
 
 
-def make_gram_store(cfg, filt, rotate, block, extra=()):
-    """GramCheckpoint keyed by everything that determines the Gram values."""
+def make_gram_store(cfg, filt, fields, rotate, block, extra=()):
+    """GramCheckpoint keyed by everything that determines the Gram values —
+    including the resolved turbulence stress/mean fields (the Lund coloring
+    input): changing --u_dash/--U0/--mean_profile/--turb_profile or the
+    profile file contents invalidates the store even when plane/filter/seed
+    are unchanged.  "gram-v2": rows store centered products."""
     from pods_digital_filter_tpu.utils.checkpoint import (
         GramCheckpoint, config_fingerprint)
 
     fp = config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, rotate,
-                             cfg.use_pallas, "gram-v1") + tuple(extra))
+                             cfg.use_pallas, fields, "gram-v2") + tuple(extra))
     return GramCheckpoint(cfg.checkpoint_dir, fp, cfg.nsteps, block)
 
 
@@ -160,7 +165,7 @@ def streaming_pod(
 
     store = None
     if getattr(cfg, "checkpoint_dir", "none") != "none":
-        store = make_gram_store(cfg, filt, rotate, block)
+        store = make_gram_store(cfg, filt, fields, rotate, block)
 
     # one compiled executable for every block (t0 is a dynamic argument);
     # the ragged final block generates a full window and keeps the first
@@ -184,14 +189,13 @@ def streaming_pod(
             cs = _colsum(gen(t0))
             s = cs if s is None else s + cs
         m = s / ns                               # (3*Np,) device
-        if store is not None:
+        if store is not None and jax.process_index() == 0:
             store.save_mean(np.asarray(m, dtype=np.float64))
         if verbose:
             print(f"streaming POD: mean pass done ({nb} blocks of {block})")
 
     # ---- pass 2: Gram (shared, resumable) -------------------------------
-    mm = float(jnp.dot(m, m))
-    C = streamed_gram(gen, ns, block, m, mm, _pair_products,
+    C = streamed_gram(gen, ns, block, m, _pair_products,
                       store=store, verbose=verbose)
 
     # ---- eigen half (shared with the in-memory path) -------------------

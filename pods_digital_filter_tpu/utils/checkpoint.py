@@ -37,6 +37,14 @@ def config_fingerprint(cfg) -> str:
             return [enc(v) for v in o]
         if isinstance(o, (np.floating, np.integer)):
             return o.item()
+        if isinstance(o, np.ndarray):
+            # content hash, not repr: the turbulence stress/mean fields feed
+            # every generated value, so a checkpoint must be invalidated when
+            # they change even if the plane/filter/seed did not (e.g. a new
+            # --u_dash or an edited profile file)
+            return ["ndarray", list(o.shape), str(o.dtype),
+                    hashlib.sha256(np.ascontiguousarray(o).tobytes())
+                    .hexdigest()]
         return o
 
     blob = json.dumps(enc(cfg), sort_keys=True, default=str).encode()
@@ -128,9 +136,9 @@ class GramCheckpoint:
     The O(B^2) pairwise-Gram pass is the long pole of an out-of-core POD at
     10k-snapshot scale; a crash mid-pass must not restart it from zero.
     Granularity: the mean vector (pass 1) plus one upper-triangular Gram
-    *row strip* per block row (pass 2) — row ``bi`` holds
-    ``C_raw[t_i:t_i+n_i, t_i:]`` and its diagonal's ``g`` segment
-    (``g = A^T m``).  Layout: ``<dir>/gram_meta.json``, ``mean.npz``,
+    *row strip* per block row (pass 2) — row ``bi`` holds the *centered*
+    products ``C[t_i:t_i+n_i, t_i:]`` (blocks are mean-subtracted on device
+    before the GEMM).  Layout: ``<dir>/gram_meta.json``, ``mean.npz``,
     ``gram_row_<bi>.npz``; all writes are atomic (tmp + rename).
     """
 
@@ -190,20 +198,18 @@ class GramCheckpoint:
         with np.load(self._mean_path()) as z:
             return z["mean"]
 
-    def save_row(self, bi: int, strip: np.ndarray, g_seg: np.ndarray):
-        """``strip`` = C_raw[t_i:t_i+n_i, t_i:] (n_i, nsteps - t_i);
-        ``g_seg`` = g[t_i:t_i+n_i]."""
+    def save_row(self, bi: int, strip: np.ndarray):
+        """``strip`` = C[t_i:t_i+n_i, t_i:] (n_i, nsteps - t_i), centered."""
         path = self._row_path(bi)
         tmp = path + ".tmp.npz"
-        np.savez_compressed(tmp, strip=np.asarray(strip, dtype=np.float64),
-                            g=np.asarray(g_seg, dtype=np.float64))
+        np.savez_compressed(tmp, strip=np.asarray(strip, dtype=np.float64))
         os.replace(tmp, path)
         self.completed_rows.add(bi)
         self._write_meta()
 
-    def load_row(self, bi: int):
+    def load_row(self, bi: int) -> np.ndarray:
         with np.load(self._row_path(bi)) as z:
-            return z["strip"], z["g"]
+            return z["strip"]
 
 
 def generate_with_checkpoints(
@@ -225,7 +231,10 @@ def generate_with_checkpoints(
     from pods_digital_filter_tpu.pipeline import generate_snapshot_matrix
 
     block = block or min(cfg.nsteps, 256)
-    fp = config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, rotate))
+    # `fields` (the resolved stress/mean arrays) is part of the key: every
+    # generated value depends on it through the Lund coloring
+    fp = config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, rotate,
+                             fields))
     store = GenerationCheckpoint(checkpoint_dir, fp, cfg.nsteps, block)
 
     for t0 in store.pending():

@@ -55,7 +55,8 @@ def test_resume_skips_completed_blocks(tmp_path):
 def test_partial_resume_regenerates_missing(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     fields, dt, filt, cfg, rotate = resolve_profile(cfg)
-    fp = ckpt.config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, True))
+    fp = ckpt.config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, True,
+                                  fields))
     store = ckpt.GenerationCheckpoint(str(tmp_path / "ck"), fp, 8, 4)
     # simulate a killed run: only block 0 saved
     cols = np.asarray(generate_snapshot_matrix(cfg, fields, filt, t0=0,
@@ -67,6 +68,28 @@ def test_partial_resume_regenerates_missing(tmp_path):
                                    block=4, rotate=rotate,
                                    progress=lambda t0, n: calls.append(t0))
     assert calls == [4]
+
+
+def test_turbulence_change_invalidates(tmp_path):
+    """Round-2 advisor (medium): the fingerprint must cover the resolved
+    turbulence stress/mean fields — a rerun with a different --u_dash but
+    identical plane/filter/seed must NOT reuse stale blocks."""
+    import dataclasses
+
+    cfg = _tiny_cfg(tmp_path)
+    fields, dt, filt, cfg, rotate = resolve_profile(cfg)
+    A1 = ckpt.generate_with_checkpoints(cfg, fields, filt, cfg.checkpoint_dir,
+                                        block=4, rotate=rotate)
+
+    cfg2 = dataclasses.replace(_tiny_cfg(tmp_path), turbulence_intensity=0.10)
+    fields2, dt2, filt2, cfg2, rotate2 = resolve_profile(cfg2)
+    calls = []
+    A2 = ckpt.generate_with_checkpoints(cfg2, fields2, filt2,
+                                        cfg2.checkpoint_dir, block=4,
+                                        rotate=rotate2,
+                                        progress=lambda t0, n: calls.append(t0))
+    assert calls == [0, 4]         # stale blocks not reused
+    assert not np.allclose(A1, A2, atol=1e-6)
 
 
 def test_config_change_invalidates(tmp_path):

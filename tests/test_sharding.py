@@ -137,9 +137,9 @@ def test_sharded_pipeline_matches_serial(tmp_path):
     rp = run_pipeline(mk("sharded", shard_time=2, shard_space=4))
 
     np.testing.assert_allclose(rp.mean_field, rs.mean_field, atol=1e-12)
-    # the sharded pipeline never gathers A to the host (by design): the
-    # placeholder is empty and parity is checked via POD + replayed model
-    assert rp.A.shape == (rs.A.shape[0], 0)
+    # the sharded pipeline never gathers A to the host (by design): A is
+    # None (explicit absence) and parity is checked via POD + replayed model
+    assert rp.A is None
     nv = min(rp.pod.num_valid, rs.pod.num_valid)
     np.testing.assert_allclose(rp.pod.energy[:nv], rs.pod.energy[:nv],
                                rtol=1e-8, atol=1e-13)
