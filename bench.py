@@ -141,9 +141,43 @@ def bench_cpu_reference(jma=128, kma=128, nsteps=4, nf=NF, ln=LN):
     return samples / dt, dt
 
 
+def bench_pod_stage():
+    """Second north-star metric (SURVEY.md §6): PODFS compression wall-time
+    at the 1000-snapshot config, reusing benchmarks/bench_pod.py internals —
+    machine-captured here so every BENCH_rXX.json carries both numbers."""
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    import bench_pod as bp
+
+    A_host = bp._make_snapshots_host(bp.NCOMP * bp.NPTS, bp.NS)
+    tpu_s, (res, fc), stages = bp.bench_tpu(A_host)
+    cpu_s, (lam_ref, _, counts_ref) = bp.bench_cpu_reference(A_host)
+    spec_err = float(np.max(np.abs(res.energy[:10] - lam_ref[:10])
+                            / lam_ref[:10]))
+    return {
+        "wall_s": round(tpu_s, 4),
+        "vs_cpu_reference": round(cpu_s / tpu_s, 1),
+        "cpu_reference_s": round(cpu_s, 2),
+        "compute_s": round(stages["compute_s"], 4),
+        "vs_cpu_compute_only": round(cpu_s / stages["compute_s"], 1),
+        "stages_s": {k: round(v, 4) for k, v in stages.items()},
+        "config": f"{bp.NCOMP * bp.NPTS} rows x {bp.NS} snaps, "
+                  f"{bp.NM} modes, et={bp.ET}",
+        "top10_eigenvalue_rel_err": round(spec_err, 6),
+    }
+
+
 def main():
     rates = bench_tpu()
     cpu_rate, cpu_dt = bench_cpu_reference()
+    try:
+        pod_stage = bench_pod_stage()
+    except Exception as e:  # the generation metric must survive regardless
+        print(f"# pod stage bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        pod_stage = {"error": f"{type(e).__name__}: {e}"}
 
     best = max(rates, key=lambda k: rates[k][0])
     rate, dt = rates[best]
@@ -162,6 +196,7 @@ def main():
             "pallas_bf16_rate": round(rates["pallas_bf16"][0], 1),
             "cpu_reference_rate": round(cpu_rate, 1),
             "cpu_reference_config": "128x128 plane, 4 steps, same filter",
+            "pod_stage": pod_stage,
         },
     }
     print(json.dumps(result))

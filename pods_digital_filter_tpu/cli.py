@@ -102,6 +102,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "matrix; regenerate blocks of this many steps "
                         "instead (0 = off; use when 3*Np*nsteps exceeds "
                         "device memory)")
+    p.add_argument("--gram_group", type=int, default=1,
+                   help="streaming POD: hold this many row blocks "
+                        "HBM-resident during the Gram pass (generations "
+                        "drop ~group-fold; composes with sharding)")
+    p.add_argument("--streaming_cache", default="none",
+                   choices=("none", "ram", "disk"),
+                   help="streaming POD: memoize generated blocks on the "
+                        "host (ram) or as .npy memmaps (disk) — wins only "
+                        "when the host link outruns regeneration; "
+                        "single-process only")
     p.add_argument("--timings", action="store_true", help="print stage timings")
     # --- multi-process (multi-host) execution -------------------------------
     p.add_argument("--multihost", action="store_true",
@@ -155,6 +165,8 @@ def config_from_args(args) -> PipelineConfig:
         checkpoint_block=args.checkpoint_block,
         use_pallas=args.use_pallas,
         streaming_block=args.streaming_block,
+        gram_group=args.gram_group,
+        streaming_cache=args.streaming_cache,
     )
 
 

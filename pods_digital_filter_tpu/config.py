@@ -142,6 +142,14 @@ class PipelineConfig:
     # snapshot matrix; regenerate blocks of this many steps from the
     # counter-indexed noise stream instead.  0 -> off (in-memory POD).
     streaming_block: int = 0
+    # Streaming-POD Gram-pass accelerators (streaming.py:streamed_gram):
+    # gram_group holds this many row blocks HBM-resident during one column
+    # sweep (generations drop ~group-fold, zero host traffic);
+    # streaming_cache ("none"|"ram"|"disk") memoizes generated blocks on the
+    # host instead — only a win when the host link outruns regeneration
+    # (measured crossover: benchmarks/bench_flagship.py).
+    gram_group: int = 1
+    streaming_cache: str = "none"
 
     @property
     def np_dtype(self):
@@ -184,6 +192,22 @@ class PipelineConfig:
                 raise ValueError(
                     f"streaming_block={self.streaming_block} not divisible "
                     f"by shard_time={self.shard_time}")
+            if self.streaming_cache != "none":
+                raise ValueError(
+                    "--streaming_cache is single-process/single-device "
+                    "(sharded blocks live distributed on the mesh; gathering "
+                    "them to a host cache would defeat the sharding) — use "
+                    "--gram_group instead, which composes with sharding")
+        if self.streaming_cache not in ("none", "ram", "disk"):
+            raise ValueError(
+                f"streaming_cache={self.streaming_cache!r}: none|ram|disk")
+        if self.gram_group < 1:
+            raise ValueError("gram_group must be >= 1")
+        if (self.streaming_cache != "none" or self.gram_group > 1) \
+                and not self.streaming_block:
+            raise ValueError(
+                "--streaming_cache/--gram_group only apply to the streaming "
+                "POD (--streaming_block)")
 
     def compute_dt(self, U: np.ndarray, V=0.0, W=0.0) -> Tuple[float, "FilterConfig"]:
         """Timestep logic of digitalfilters.py:1311-1322.

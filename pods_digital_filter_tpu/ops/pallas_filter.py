@@ -218,6 +218,53 @@ def raw_noise_slabs(seed, t0, num_slabs, jn, kn, num_components=1,
     return out.reshape(num_components, num_slabs, jn, kn)
 
 
+def _noise_kernel_body_tiled(params_ref, out_ref):
+    """Materializes one row block of the TILED kernel's PRNG stream per grid
+    step (params: [seed, t0, num_slabs, nblocks]) — the TPU-gated
+    validation target: the fused tiled kernel must equal a plain filter of
+    the field assembled from these blocks."""
+    from jax.experimental import pallas as pl
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    num_slabs = params_ref[0, 2]
+    nblocks = params_ref[0, 3]
+    cs = pid // nblocks
+    b = pid % nblocks
+    comp = cs // num_slabs
+    slab = params_ref[0, 1] + cs % num_slabs
+    pltpu.prng_seed(params_ref[0, 0] + _tiled_stream(comp, slab, b)
+                    * jnp.int32(-1640531527))
+    out_ref[0] = _draw_noise_block(out_ref.shape[1], out_ref.shape[2])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_slabs", "nblocks", "tile_j", "kn", "num_components"))
+def raw_noise_blocks_tiled(seed, t0, num_slabs, nblocks, tile_j, kn,
+                           num_components=1):
+    """(C, S, nblocks*tile_j, kn) noise fields of the tiled kernel's stream
+    (real-TPU only — no interpreter PRNG)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = jnp.stack([jnp.asarray(seed, jnp.int32),
+                        jnp.asarray(t0, jnp.int32),
+                        jnp.asarray(num_slabs, jnp.int32),
+                        jnp.asarray(nblocks, jnp.int32)])[None, :]
+    out = pl.pallas_call(
+        _noise_kernel_body_tiled,
+        grid=(num_components * num_slabs * nblocks,),
+        in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, tile_j, kn), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_components * num_slabs * nblocks, tile_j, kn), jnp.float32),
+    )(params)
+    return out.reshape(num_components, num_slabs, nblocks * tile_j, kn)
+
+
 def vmem_bytes_estimate(jma: int, kma: int, nfy: int, nfz: int) -> int:
     jn, kn = jma + 2 * nfy, kma + 2 * nfz
     return 4 * (jn * kn + kn * kma + jma * jn + jn * kma + jma * kma)
@@ -225,6 +272,220 @@ def vmem_bytes_estimate(jma: int, kma: int, nfy: int, nfz: int) -> int:
 
 def fused_spatial_available(jma: int, kma: int, nfy: int, nfz: int) -> bool:
     return vmem_bytes_estimate(jma, kma, nfy, nfz) <= _VMEM_LIMIT_BYTES
+
+
+# ---------------------------------------------------------------------------
+# j-tiled variant: fused kernel for planes whose full slab working set
+# exceeds VMEM (round-2 verdict weak #4 — e.g. 1024x1024, or nf > 8 at
+# 1024x512).  Each grid step produces one (tile_j, kma) row stripe of one
+# (component, slab).  Noise rows are drawn in FIXED row blocks of tile_j
+# rows keyed by (component, slab, row-block), so the 2*nfy halo rows shared
+# by adjacent stripes are bit-identical across tiles — the output is one
+# consistent filtered field, not per-tile fields with broken seams.  The
+# y-axis Toeplitz band is shift-invariant, so every stripe uses the same
+# small (tile_j, tile_j + 2*nfy) tap block.
+# ---------------------------------------------------------------------------
+
+# tile row count: >= 2*nfy (two row blocks cover stripe + halo), multiple of
+# the f32 sublane tile (8)
+_TILE_J = 128
+
+
+def vmem_bytes_estimate_tiled(jma: int, kma: int, nfy: int, nfz: int,
+                              tile_j: int = _TILE_J) -> int:
+    kn = kma + 2 * nfz
+    return 4 * (2 * tile_j * kn                      # two noise row blocks
+                + kn * kma                           # BzT (z untiled)
+                + tile_j * (tile_j + 2 * nfy)        # local ByM band
+                + (tile_j + 2 * nfy) * kma           # intermediate t
+                + tile_j * kma)                      # output stripe
+
+
+def fused_spatial_tiled_available(jma: int, kma: int, nfy: int,
+                                  nfz: int) -> bool:
+    if 2 * nfy > _TILE_J:
+        return False
+    ntiles = -(-jma // _TILE_J)
+    if ntiles + 1 >= 63:           # stream-id budget (see _tiled_stream_doc)
+        return False
+    return (vmem_bytes_estimate_tiled(jma, kma, nfy, nfz)
+            <= _VMEM_LIMIT_BYTES)
+
+
+def _draw_noise_block(jn_rows: int, kn: int):
+    """Draw one (jn_rows, kn) uniform(+/-sqrt3) block with the CURRENT
+    kernel PRNG stream position — the same 16-bit-packed draw as
+    ``_kernel_body`` (must stay bit-identical to it)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if kn % 2 == 0:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((jn_rows, kn // 2)),
+                             jnp.int32)
+        lo = jnp.bitwise_and(bits, jnp.int32(0xFFFF)) - jnp.int32(32768)
+        hi = jax.lax.shift_right_arithmetic(bits, 16)
+        v = jnp.concatenate([lo, hi], axis=1)
+        return v.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 / 65536.0)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((jn_rows, kn)), jnp.int32)
+    return bits.astype(jnp.float32) * jnp.float32(2.0 * _SQRT3 * 2.0 ** -32)
+
+
+def _tiled_stream(comp, slab, jblock):
+    """Stream id for one (component, slab, noise-row-block).
+
+    Layout: low 25 bits = the untiled scheme's ``comp * 2^22 + slab``
+    (slab < 2^22 as before); bits 25+ = ``jblock + 1`` — disjoint from the
+    untiled kernel's ids (which have these bits zero) and collision-free
+    for jblock + 1 < 63 (keeps the id below 2^31; guarded in
+    fused_spatial_tiled_available)."""
+    return (comp * jnp.int32(1 << 22) + slab
+            + (jblock + jnp.int32(1)) * jnp.int32(1 << 25))
+
+
+def tiled_interpret_noise(seed, t0, num_slabs, ntiles, tile_j, kn,
+                          num_components):
+    """The interpret-mode (CPU) stand-in for the tiled kernel's row-block
+    noise stream: Threefry blocks keyed by (component, slab, row-block),
+    assembled into ``(C, S, (ntiles+1)*tile_j, kn)`` fields.  Exposed so
+    the layout-parity test can filter the very same field through the XLA
+    reference path (tests/test_pallas_filter.py)."""
+    key = jax.random.key(seed)
+    out = []
+    for c in range(num_components):
+        row = []
+        for s in range(num_slabs):
+            per = []
+            for b in range(ntiles + 1):
+                kb = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(key, c), t0 + s), b)
+                per.append(jax.random.uniform(
+                    kb, (tile_j, kn), jnp.float32, -_SQRT3, _SQRT3))
+            row.append(jnp.concatenate(per, axis=0))
+        out.append(jnp.stack(row))
+    return jnp.stack(out)
+
+
+def _kernel_body_tiled(params_ref, bzT_ref, byM_loc_ref, out_ref):
+    """One (component, slab) x one j-stripe per grid step.
+
+    params (SMEM, (1, 4)): [seed, t0, num_slabs, nfy].  Grid is
+    (C * num_slabs, num_jtiles); the stripe draws noise row blocks
+    ``jtile`` and ``jtile + 1`` (each _TILE_J rows, individually seeded so
+    neighbors reproduce the shared halo rows), keeps the first
+    ``tile_j + 2*nfy`` rows, and runs both banded GEMMs on the stripe.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    jtile = pl.program_id(1)
+    num_slabs = params_ref[0, 2]
+    comp = pid // num_slabs
+    slab = params_ref[0, 1] + pid % num_slabs
+    seed0 = params_ref[0, 0]
+
+    tile_j = byM_loc_ref.shape[0]
+    halo2 = byM_loc_ref.shape[1] - tile_j          # 2*nfy (static)
+    kn = bzT_ref.shape[0]
+
+    pltpu.prng_seed(seed0 + _tiled_stream(comp, slab, jtile)
+                    * jnp.int32(-1640531527))
+    x0 = _draw_noise_block(tile_j, kn)
+    pltpu.prng_seed(seed0 + _tiled_stream(comp, slab, jtile + 1)
+                    * jnp.int32(-1640531527))
+    x1 = _draw_noise_block(tile_j, kn)
+    x = jnp.concatenate([x0, x1], axis=0)[: tile_j + halo2]
+
+    t = jnp.dot(x.astype(bzT_ref.dtype), bzT_ref[:],
+                preferred_element_type=jnp.float32)   # (tile_j+2nfy, kma)
+    out_ref[0] = jnp.dot(byM_loc_ref[:], t.astype(byM_loc_ref.dtype),
+                         preferred_element_type=jnp.float32)
+
+
+def _kernel_body_tiled_noise_in(noise_ref, bzT_ref, byM_loc_ref, out_ref):
+    """GEMM-only tiled variant taking the pre-assembled per-stripe noise
+    (interpret-mode / layout-parity target — the Mosaic interpreter has no
+    PRNG)."""
+    t = jnp.dot(noise_ref[0, 0].astype(bzT_ref.dtype), bzT_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.dot(byM_loc_ref[:], t.astype(byM_loc_ref.dtype),
+                            preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slabs", "jma", "kma", "nfy", "num_components",
+                     "interpret"),
+)
+def _fused_spatial_tiled(seed, bzT, byM_loc, num_slabs, jma, kma, nfy,
+                         num_components, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kn = bzT.shape[0]
+    tile_j = byM_loc.shape[0]
+    ntiles = -(-jma // tile_j)
+    jma_pad = ntiles * tile_j
+    grid = (num_components * num_slabs, ntiles)
+    interp = pltpu.InterpretParams() if interpret else False
+
+    if interpret:
+        # host-side Threefry draw with the SAME per-row-block keying, so the
+        # assembled field (and the halo-row sharing between stripes) matches
+        # the device scheme structurally; the GEMM-only kernel then runs.
+        full_fields = tiled_interpret_noise(
+            seed[0, 0], seed[0, 1], num_slabs, ntiles, tile_j, kn,
+            num_components)                       # (C, S, (ntiles+1)*tj, kn)
+        blocks = []
+        for c in range(num_components):
+            for s in range(num_slabs):
+                full = full_fields[c, s]
+                blocks.append(jnp.stack(
+                    [full[t * tile_j: t * tile_j + tile_j + 2 * nfy]
+                     for t in range(ntiles)]))
+        noise = jnp.stack(blocks)   # (C*S, ntiles, tile_j+2nfy, kn)
+        out = pl.pallas_call(
+            _kernel_body_tiled_noise_in,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, tile_j + 2 * nfy, kn),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kn, kma), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_j, tile_j + 2 * nfy),
+                             lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, tile_j, kma),
+                                   lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_components * num_slabs, ntiles, tile_j, kma),
+                jnp.float32),
+            interpret=interp,
+        )(noise, bzT, byM_loc)
+        out = out.reshape(num_components, num_slabs, jma_pad, kma)
+        return out[:, :, :jma]
+
+    out = pl.pallas_call(
+        _kernel_body_tiled,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((kn, kma), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, tile_j + 2 * nfy), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_j, kma),
+                               lambda i, j: (i * ntiles + j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_components * num_slabs * ntiles, tile_j, kma), jnp.float32),
+        interpret=interp,
+    )(seed, bzT, byM_loc)
+    out = out.reshape(num_components, num_slabs, jma_pad, kma)
+    return out[:, :, :jma]
 
 
 _fallback_warned: set = set()
@@ -278,7 +539,8 @@ def generate_correlated_noise_fused(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not fused_spatial_available(jma, kma, nfy, nfz):
+    tiled = not fused_spatial_available(jma, kma, nfy, nfz)
+    if tiled and not fused_spatial_tiled_available(jma, kma, nfy, nfz):
         _warn_fallback(jma, kma, nfy, nfz, matmul_dtype)
         key = jax.random.key(seed)
         return filters.generate_correlated_noise(
@@ -288,16 +550,45 @@ def generate_correlated_noise_fused(
     bx = filters.gaussian_fir_coeffs(nfx, lnx, jnp.float32)
     by = filters.gaussian_fir_coeffs(nfy, lny, jnp.float32)
     bz = filters.gaussian_fir_coeffs(nfz, lnz, jnp.float32)
-    ByM = filters.toeplitz_band(by, jma).astype(matmul_dtype)   # (jma, jn)
     BzT = filters.toeplitz_band(bz, kma).T.astype(matmul_dtype)  # (kn, kma)
 
     num_slabs = nsteps + 2 * nfx
-    # tracer-safe: seed/t0 may be dynamic jit arguments (streaming POD)
-    seed_arr = jnp.stack([
-        jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32),
-        jnp.asarray(num_slabs, jnp.int32)])[None, :]
-    z = _fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs, jma=jma,
-                       kma=kma, num_components=num_components,
-                       interpret=interpret)
+    if tiled:
+        # j-tiled kernel (row-block-keyed noise stream — a different but
+        # statistically-equivalent stream from the full-slab kernel; the
+        # choice is deterministic in the plane/filter shape)
+        ByM_loc = filters.toeplitz_band(by, _TILE_J).astype(matmul_dtype)
+        seed_arr = jnp.stack([
+            jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32),
+            jnp.asarray(num_slabs, jnp.int32),
+            jnp.asarray(nfy, jnp.int32)])[None, :]
+        z = _fused_spatial_tiled(seed_arr, BzT, ByM_loc,
+                                 num_slabs=num_slabs, jma=jma, kma=kma,
+                                 nfy=nfy, num_components=num_components,
+                                 interpret=interpret)
+    else:
+        ByM = filters.toeplitz_band(by, jma).astype(matmul_dtype)  # (jma, jn)
+        # tracer-safe: seed/t0 may be dynamic jit arguments (streaming POD)
+        seed_arr = jnp.stack([
+            jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32),
+            jnp.asarray(num_slabs, jnp.int32)])[None, :]
+        z = _fused_spatial(seed_arr, BzT, ByM, num_slabs=num_slabs, jma=jma,
+                           kma=kma, num_components=num_components,
+                           interpret=interpret)
     y = filters.filter_temporal(z, bx, axis=-3)
     return y.astype(dtype)
+
+
+def generation_stream_tag(use_pallas: bool, jma: int, kma: int, nfy: int,
+                          nfz: int) -> str:
+    """Which noise stream a configuration generates with — part of the
+    checkpoint fingerprint, because the three streams (XLA Threefry,
+    full-slab Mosaic PRNG, row-block-keyed tiled Mosaic PRNG) produce
+    different values for the same seed."""
+    if not use_pallas:
+        return "xla-threefry-v1"
+    if fused_spatial_available(jma, kma, nfy, nfz):
+        return "pallas-full-v1"
+    if fused_spatial_tiled_available(jma, kma, nfy, nfz):
+        return "pallas-tiled-v1"
+    return "xla-threefry-v1"

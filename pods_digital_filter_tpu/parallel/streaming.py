@@ -175,8 +175,11 @@ def streaming_pod_sharded(
                   f"({nb} blocks of {block})")
 
     # ---- pass 2: Gram (shared resumable driver) -------------------------
+    # gram_group composes with sharding: the HBM panel is itself sharded
+    # over the mesh, so the per-device budget scales with 1/num_devices
     C = streamed_gram(gen, ns, block, mean_fields, _pair_products_fields,
-                      store=store, verbose=verbose)
+                      store=store, verbose=verbose,
+                      group=getattr(cfg, "gram_group", 1))
 
     # ---- eigen half ------------------------------------------------------
     energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(

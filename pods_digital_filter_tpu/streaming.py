@@ -40,6 +40,7 @@ pick ``block`` as large as HBM allows (2 panels + the Gram tile).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -83,9 +84,62 @@ def _project_block(phi, A, M, m):
         - jnp.outer(m, jnp.sum(M, axis=0))
 
 
+class HostBlockCache:
+    """Host-side cache of generated blocks (``--streaming_cache``): pass 1
+    stores each block once; later passes read it back instead of
+    regenerating, cutting the Gram pass's O(B^2) generations to O(B).
+
+    ``mode='ram'`` keeps numpy arrays in host memory; ``mode='disk'`` keeps
+    ``.npy`` memmaps under ``directory`` (bounded RAM, survives nothing —
+    it is a cache, not a checkpoint).  Worth it only when the host link is
+    fast relative to regeneration: over a remote-tunnel TPU the upload
+    dominates and pure regeneration (or ``gram_group``) wins — measured in
+    benchmarks/bench_flagship.py."""
+
+    def __init__(self, mode: str = "ram", directory: str | None = None):
+        if mode not in ("ram", "disk"):
+            raise ValueError(f"streaming_cache mode {mode!r}: ram|disk")
+        self.mode = mode
+        self._ram: dict = {}
+        self._paths: dict = {}
+        if mode == "disk":
+            import tempfile
+            self.dir = directory or tempfile.mkdtemp(prefix="pods_blockcache_")
+            os.makedirs(self.dir, exist_ok=True)
+
+    def put(self, t0: int, block) -> None:
+        arr = np.asarray(block)
+        if self.mode == "ram":
+            self._ram[t0] = arr
+        else:
+            path = os.path.join(self.dir, f"block_{t0:08d}.npy")
+            np.save(path, arr)
+            self._paths[t0] = path
+
+    def get(self, t0: int):
+        if self.mode == "ram":
+            return self._ram.get(t0)
+        path = self._paths.get(t0)
+        return None if path is None else np.load(path, mmap_mode="r")
+
+    def wrap(self, gen):
+        """Memoizing wrapper around a block generator (device arrays in,
+        device arrays out; cached through host memory)."""
+
+        def cached(t0):
+            hit = self.get(int(t0))
+            if hit is not None:
+                return jnp.asarray(hit)
+            A = gen(t0)
+            self.put(int(t0), A)
+            return A
+
+        return cached
+
+
 def streamed_gram(gen, ns: int, block: int, m, pair_fn,
                   time_len=lambda A: A.shape[1], store=None,
-                  verbose: bool = False):
+                  verbose: bool = False, group: int = 1):
     """The shared O(B^2) pairwise Gram pass over regenerated blocks.
 
     ``gen(t0)`` returns the block for steps ``[t0, min(t0+block, ns))`` in
@@ -95,6 +149,13 @@ def streamed_gram(gen, ns: int, block: int, m, pair_fn,
     instead of recomputed and new rows are persisted as they finish
     (kill-and-resume tested in tests/test_streaming.py).  Returns the
     centered Gram ``C = (A-m)^T (A-m) / ns`` as host float64.
+
+    ``group`` (``--gram_group``) holds that many row blocks resident in
+    device HBM while sweeping the columns once for all of them — the
+    TPU-native cache: generations drop from B(B+1)/2 to ~B^2/(2*group)
+    with no host traffic at all (the host-RAM cache trades regeneration
+    for host-link uploads instead, which loses on a remote-tunnel chip).
+    ``group=1`` is the round-2 behavior.
     """
     from pods_digital_filter_tpu.parallel.mesh import to_host
 
@@ -102,23 +163,42 @@ def streamed_gram(gen, ns: int, block: int, m, pair_fn,
     starts = _block_starts(ns, block)
     nb = len(starts)
     C = np.zeros((ns, ns), dtype=np.float64)
-    for bi, ti in enumerate(starts):
-        ni = min(block, ns - ti)
-        if store is not None and bi in store.completed_rows:
-            C[ti:ti + ni, ti:] = store.load_row(bi)
-            if verbose:
-                print(f"streaming POD: gram row {bi + 1}/{nb} (from checkpoint)")
+    group = max(1, int(group))
+
+    for g0 in range(0, nb, group):
+        rows = list(range(g0, min(g0 + group, nb)))
+        pending = [bi for bi in rows
+                   if store is None or bi not in store.completed_rows]
+        for bi in rows:
+            if bi not in pending:
+                ti, ni = starts[bi], min(block, ns - starts[bi])
+                C[ti:ti + ni, ti:] = store.load_row(bi)
+                if verbose:
+                    print(f"streaming POD: gram row {bi + 1}/{nb} "
+                          "(from checkpoint)")
+        if not pending:
             continue
-        Ai = gen(ti)
-        for tj in starts[bi:]:
-            Aj = Ai if tj == ti else gen(tj)
+        # generate the panel's rows once; they stay HBM-resident for the
+        # whole column sweep
+        panel = {bi: gen(starts[bi]) for bi in pending}
+        for ji, tj in enumerate(starts[pending[0]:], start=pending[0]):
+            Aj = panel.get(ji)
+            if Aj is None:
+                Aj = gen(tj)
             nj = time_len(Aj)
-            Cij = pair_fn(Ai, Aj, m)
-            C[ti:ti + ni, tj:tj + nj] = to_host(Cij)
-        if store is not None and lead:
-            store.save_row(bi, C[ti:ti + ni, ti:])
-        if verbose:
-            print(f"streaming POD: gram row {bi + 1}/{nb}")
+            for bi in pending:
+                ti = starts[bi]
+                if tj < ti:
+                    continue
+                ni = min(block, ns - ti)
+                Cij = pair_fn(panel[bi], Aj, m)
+                C[ti:ti + ni, tj:tj + nj] = to_host(Cij)
+        for bi in pending:
+            ti, ni = starts[bi], min(block, ns - starts[bi])
+            if store is not None and lead:
+                store.save_row(bi, C[ti:ti + ni, ti:])
+            if verbose:
+                print(f"streaming POD: gram row {bi + 1}/{nb}")
     iu = np.triu_indices(ns, 1)
     C[(iu[1], iu[0])] = C[iu]                    # mirror upper -> lower
     return C / ns
@@ -130,11 +210,15 @@ def make_gram_store(cfg, filt, fields, rotate, block, extra=()):
     input): changing --u_dash/--U0/--mean_profile/--turb_profile or the
     profile file contents invalidates the store even when plane/filter/seed
     are unchanged.  "gram-v2": rows store centered products."""
+    from pods_digital_filter_tpu.ops.pallas_filter import generation_stream_tag
     from pods_digital_filter_tpu.utils.checkpoint import (
         GramCheckpoint, config_fingerprint)
 
+    stream = generation_stream_tag(cfg.use_pallas, cfg.plane.jma,
+                                   cfg.plane.kma, filt.nfy, filt.nfz)
     fp = config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, rotate,
-                             cfg.use_pallas, fields, "gram-v2") + tuple(extra))
+                             cfg.use_pallas, fields, stream, "gram-v2")
+                            + tuple(extra))
     return GramCheckpoint(cfg.checkpoint_dir, fp, cfg.nsteps, block)
 
 
@@ -155,6 +239,10 @@ def streaming_pod(
     :func:`pipeline.generate_snapshot_matrix`; blocks are regenerated with
     the same counters, so the result matches the in-memory pipeline.  With
     ``cfg.checkpoint_dir`` set, the mean and Gram passes are resumable.
+    ``cfg.gram_group`` > 1 keeps that many row blocks HBM-resident during
+    the Gram pass; ``cfg.streaming_cache`` memoizes generated blocks on the
+    host (see :func:`streamed_gram` / :class:`HostBlockCache` for when each
+    wins).
     """
     ns = cfg.nsteps
     block = min(block, ns)
@@ -177,6 +265,10 @@ def streaming_pod(
         n = min(block, ns - t0)
         return A[:, :n] if n < block else A
 
+    cache_mode = getattr(cfg, "streaming_cache", "none")
+    if cache_mode != "none":
+        gen = HostBlockCache(cache_mode).wrap(gen)
+
     # ---- pass 1: mean --------------------------------------------------
     m_host = store.load_mean() if store is not None else None
     if m_host is not None:
@@ -196,7 +288,8 @@ def streaming_pod(
 
     # ---- pass 2: Gram (shared, resumable) -------------------------------
     C = streamed_gram(gen, ns, block, m, _pair_products,
-                      store=store, verbose=verbose)
+                      store=store, verbose=verbose,
+                      group=getattr(cfg, "gram_group", 1))
 
     # ---- eigen half (shared with the in-memory path) -------------------
     energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(

@@ -231,10 +231,16 @@ def generate_with_checkpoints(
     from pods_digital_filter_tpu.pipeline import generate_snapshot_matrix
 
     block = block or min(cfg.nsteps, 256)
-    # `fields` (the resolved stress/mean arrays) is part of the key: every
-    # generated value depends on it through the Lund coloring
+    # `fields` (the resolved stress/mean arrays) is part of the key (every
+    # generated value depends on it through the Lund coloring), as is the
+    # noise-stream variant the config resolves to (XLA / full-slab Pallas /
+    # tiled Pallas produce different values for the same seed)
+    from pods_digital_filter_tpu.ops.pallas_filter import generation_stream_tag
+
+    stream = generation_stream_tag(cfg.use_pallas, cfg.plane.jma,
+                                   cfg.plane.kma, filt.nfy, filt.nfz)
     fp = config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, rotate,
-                             fields))
+                             fields, stream))
     store = GenerationCheckpoint(checkpoint_dir, fp, cfg.nsteps, block)
 
     for t0 in store.pending():

@@ -55,8 +55,12 @@ def test_resume_skips_completed_blocks(tmp_path):
 def test_partial_resume_regenerates_missing(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     fields, dt, filt, cfg, rotate = resolve_profile(cfg)
+    from pods_digital_filter_tpu.ops.pallas_filter import generation_stream_tag
+
+    stream = generation_stream_tag(cfg.use_pallas, cfg.plane.jma,
+                                   cfg.plane.kma, filt.nfy, filt.nfz)
     fp = ckpt.config_fingerprint((cfg.plane, filt, cfg.seed, cfg.dtype, True,
-                                  fields))
+                                  fields, stream))
     store = ckpt.GenerationCheckpoint(str(tmp_path / "ck"), fp, 8, 4)
     # simulate a killed run: only block 0 saved
     cols = np.asarray(generate_snapshot_matrix(cfg, fields, filt, t0=0,

@@ -166,3 +166,93 @@ def test_oncore_prng_statistics_tpu():
         assert abs(s[key]) < 5.0 / np.sqrt(n), (key, s)
     assert s["min"] < -a * 0.999 and s["max"] > a * 0.999, s
     assert s["min"] >= -a - 1e-5 and s["max"] <= a + 1e-5, s
+
+
+# ---------------------------------------------------------------------------
+# j-tiled fused kernel (round-3: planes beyond the full-slab VMEM guard)
+# ---------------------------------------------------------------------------
+
+def test_tiled_kernel_layout_parity():
+    """The j-tiled kernel (interpret mode) must equal the XLA spatial filter
+    of the same per-row-block-keyed noise field — in particular the 2*nfy
+    halo rows shared by adjacent stripes must be bit-identical across
+    tiles, or the seams would decorrelate."""
+    import jax.numpy as jnp
+
+    seed, t0, nsteps, nf, ln = 7, 3, 4, 2, 1.0
+    jma, kma = 200, 24                     # 2 stripes of _TILE_J=128 (padded)
+    num_slabs = nsteps + 2 * nf
+    by = filters.gaussian_fir_coeffs(nf, ln, jnp.float32)
+    BzT = filters.toeplitz_band(by, kma).T
+    ByM_loc = filters.toeplitz_band(by, pf._TILE_J)
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          jnp.asarray(t0, jnp.int32),
+                          jnp.asarray(num_slabs, jnp.int32),
+                          jnp.asarray(nf, jnp.int32)])[None, :]
+    z = pf._fused_spatial_tiled(seed_arr, BzT, ByM_loc, num_slabs=num_slabs,
+                                jma=jma, kma=kma, nfy=nf, num_components=2,
+                                interpret=True)
+    assert z.shape == (2, num_slabs, jma, kma)
+
+    ntiles = -(-jma // pf._TILE_J)
+    full = pf.tiled_interpret_noise(seed, t0, num_slabs, ntiles, pf._TILE_J,
+                                    kma + 2 * nf, 2)
+    raw = full[:, :, : jma + 2 * nf]
+    z_ref = filters.filter_spatial(raw, by, by, jma, kma)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=2e-5)
+
+
+def test_tiled_kernel_statistics():
+    """End-to-end tiled generation (spatial + temporal FIR) keeps the unit
+    variance / zero mean the filter taps guarantee."""
+    import jax.numpy as jnp
+
+    nf, ln = 2, 1.0
+    jma, kma = 160, 32
+    num_slabs = 24 + 2 * nf
+    by = filters.gaussian_fir_coeffs(nf, ln, jnp.float32)
+    BzT = filters.toeplitz_band(by, kma).T
+    ByM_loc = filters.toeplitz_band(by, pf._TILE_J)
+    seed_arr = jnp.stack([jnp.asarray(1, jnp.int32),
+                          jnp.asarray(0, jnp.int32),
+                          jnp.asarray(num_slabs, jnp.int32),
+                          jnp.asarray(nf, jnp.int32)])[None, :]
+    z = pf._fused_spatial_tiled(seed_arr, BzT, ByM_loc, num_slabs=num_slabs,
+                                jma=jma, kma=kma, nfy=nf, num_components=1,
+                                interpret=True)
+    y = np.asarray(filters.filter_temporal(
+        z, filters.gaussian_fir_coeffs(nf, ln, jnp.float32), axis=-3))
+    assert np.isfinite(y).all()
+    assert abs(y.var() - 1.0) < 0.15, y.var()
+    assert abs(y.mean()) < 0.05
+
+
+def test_generation_stream_tag_dispatch():
+    """Which stream a configuration generates with (checkpoint fingerprint
+    input): full-slab kernel under the VMEM guard, tiled kernel beyond it,
+    XLA beyond both."""
+    assert pf.generation_stream_tag(False, 512, 512, 8, 8) == "xla-threefry-v1"
+    assert pf.generation_stream_tag(True, 512, 512, 8, 8) == "pallas-full-v1"
+    assert pf.fused_spatial_available(512, 512, 8, 8)
+    # flagship-adjacent shapes the round-2 guard silently lost:
+    assert pf.generation_stream_tag(True, 1024, 1024, 8, 8) == "pallas-tiled-v1"
+    assert pf.generation_stream_tag(True, 1024, 768, 8, 8) == "pallas-tiled-v1"
+    # z axis untiled: a ~2k kma exceeds even the tiled working set
+    assert pf.generation_stream_tag(True, 16, 2048, 8, 8) == "xla-threefry-v1"
+
+
+def test_fallback_beyond_tiled_guard_warns():
+    import warnings
+
+    pf._fallback_warned.clear()
+    with pytest.warns(UserWarning, match="falling back"):
+        y = pf.generate_correlated_noise_fused(
+            0, 0, 1, 16, 2048, 8, 8, 8, 4.0, 4.0, 4.0, num_components=1,
+            interpret=True)
+    assert y.shape == (1, 1, 16, 2048)
+    # once per shape only
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pf.generate_correlated_noise_fused(
+            0, 0, 1, 16, 2048, 8, 8, 8, 4.0, 4.0, 4.0, num_components=1,
+            interpret=True)

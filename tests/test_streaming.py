@@ -133,3 +133,65 @@ def test_streaming_f32_mean_dominated(tmp_path):
     # rtol 1e-5: the raw-product formulation fails this by ~30x; the
     # centered one passes with ~100x margin
     np.testing.assert_allclose(sp.pod.energy[:5], e_ref[:5], rtol=1e-5)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(gram_group=2), dict(gram_group=3), dict(gram_group=99),
+    dict(streaming_cache="ram"), dict(streaming_cache="disk"),
+    dict(gram_group=2, streaming_cache="ram"),
+])
+def test_gram_group_and_cache_parity(tmp_path, kw):
+    """--gram_group (HBM row panels) and --streaming_cache (host
+    memoization) are pure schedule/caching changes: results must equal the
+    plain streaming POD exactly (same blocks, same products)."""
+    cfg = _cfg(tmp_path, nsteps=14, streaming_block=4)
+    fields, dt, filt, cfg2, rotate = resolve_profile(cfg)
+    base = streaming.streaming_pod(cfg2, fields, filt, rotate=rotate,
+                                   block=4)
+
+    import dataclasses
+    cfg3 = dataclasses.replace(cfg2, **kw)
+    sp = streaming.streaming_pod(cfg3, fields, filt, rotate=rotate, block=4)
+    np.testing.assert_allclose(sp.mean_field, base.mean_field, atol=1e-14)
+    nv = base.pod.num_valid
+    assert sp.pod.num_valid == nv
+    np.testing.assert_allclose(sp.pod.energy[:nv], base.pod.energy[:nv],
+                               rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(sp.pod.spatial_modes, base.pod.spatial_modes,
+                               atol=1e-12)
+
+
+def test_gram_group_with_checkpoint_resume(tmp_path):
+    """gram_group composes with the Gram checkpoint: a partially completed
+    store (written by a group>1 run) resumes to the same result."""
+    import dataclasses
+    ck = str(tmp_path / "ck")
+    cfg = _cfg(tmp_path, nsteps=16, streaming_block=4, gram_group=2,
+               checkpoint_dir=ck)
+    fields, dt, filt, cfg2, rotate = resolve_profile(cfg)
+    ref = streaming.streaming_pod(
+        dataclasses.replace(cfg2, checkpoint_dir="none"),
+        fields, filt, rotate=rotate, block=4)
+
+    r1 = streaming.streaming_pod(cfg2, fields, filt, rotate=rotate, block=4)
+    # rerun against the now-complete store (pure checkpoint reads)
+    r2 = streaming.streaming_pod(cfg2, fields, filt, rotate=rotate, block=4)
+    for r in (r1, r2):
+        np.testing.assert_allclose(r.mean_field, ref.mean_field, atol=1e-14)
+        nv = ref.pod.num_valid
+        np.testing.assert_allclose(r.pod.energy[:nv], ref.pod.energy[:nv],
+                                   rtol=1e-12, atol=1e-16)
+
+
+def test_cache_rejected_with_sharding(tmp_path):
+    from pods_digital_filter_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="streaming_cache"):
+        _cfg(tmp_path, shard_space=2, streaming_block=4,
+             streaming_cache="ram", plane=__import__(
+                 "pods_digital_filter_tpu.config", fromlist=["PlaneConfig"]
+             ).PlaneConfig(jma=8, kma=8, res=0.1)).validate()
+    with pytest.raises(ValueError, match="gram_group"):
+        _cfg(tmp_path, gram_group=0, streaming_block=4).validate()
+    with pytest.raises(ValueError, match="only apply"):
+        _cfg(tmp_path, gram_group=4).validate()
