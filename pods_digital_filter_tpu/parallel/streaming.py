@@ -39,7 +39,8 @@ class ShardedStreamingResult(StreamingPODResult):
 
 
 def make_sharded_generator(cfg, fields, filt, mesh: Mesh, block: int,
-                           rotate: bool = True, halo: bool | None = None):
+                           rotate: bool = True, halo: bool | None = None,
+                           center=None):
     """Block generator over the mesh: ``gen(t0) -> (3, block, jma, kma)``
     Lund-colored velocity fields sharded ``P(None, 't', None, 's')``.
 
@@ -48,6 +49,12 @@ def make_sharded_generator(cfg, fields, filt, mesh: Mesh, block: int,
     selects the ppermute halo-exchange noise path
     (:func:`parallel.sharding.generate_sharded_halo`) instead of the exact
     duplicate-noise path; default from ``cfg.halo_exchange``.
+
+    ``center`` (a ``(3, jma, kma)`` mean-field array, sharded like the
+    output's spatial axes) subtracts the mean INSIDE the generation
+    program — XLA fuses it into the rotation epilogue, so the Gram /
+    projection passes get centered blocks with zero extra HBM buffers
+    (see streaming.make_centered_generator).
     """
     p = cfg.plane
     dtype = jnp.dtype(cfg.dtype)
@@ -59,8 +66,7 @@ def make_sharded_generator(cfg, fields, filt, mesh: Mesh, block: int,
     stresses = tuple(jnp.asarray(s, dtype=dtype) for s in fields.stresses())
     means = tuple(jnp.asarray(m, dtype=dtype) for m in fields.means())
 
-    @jax.jit
-    def gen(t0, key, stresses, means):
+    def body(t0, key, stresses, means):
         X = gen_noise(
             key, mesh, t0, block, p.jma, p.kma,
             filt.nfx, filt.nfy, filt.nfz,
@@ -71,7 +77,15 @@ def make_sharded_generator(cfg, fields, filt, mesh: Mesh, block: int,
             X = rotation.rotate_velocity_fields(X, *p.normal)
         return X
 
-    return lambda t0: gen(jnp.asarray(t0, jnp.int32), key, stresses, means)
+    if center is None:
+        gen = jax.jit(body)
+        return lambda t0: gen(jnp.asarray(t0, jnp.int32), key, stresses,
+                              means)
+
+    gen_c = jax.jit(lambda t0, key, stresses, means, c:
+                    body(t0, key, stresses, means) - c[:, None])
+    return lambda t0: gen_c(jnp.asarray(t0, jnp.int32), key, stresses,
+                            means, center)
 
 
 @jax.jit
@@ -81,25 +95,24 @@ def _colsum_fields(X):
 
 
 @jax.jit
-def _pair_products_fields(Xi, Xj, m):
-    """Centered Gram tile in field layout: blocks are mean-subtracted on
-    device before the contraction over (c, j, k), which lowers to
-    per-'s'-shard partials + an all-reduce over the mesh.  Centering first
-    (not raw products + rank-1 correction) keeps full f32 significance when
-    the mean dominates — see streaming.py module docstring."""
-    Xi = Xi - m[:, None]
-    Xj = Xj - m[:, None]
+def _pair_products_fields(Xi, Xj):
+    """Gram tile of two ALREADY-CENTERED field blocks: the contraction over
+    (c, j, k) lowers to per-'s'-shard partials + an all-reduce over the
+    mesh.  The mean is subtracted inside the generation program
+    (make_sharded_generator(center=...)) — centering first (not raw
+    products + rank-1 correction) keeps full f32 significance when the
+    mean dominates, and no extra full-block HBM temporary exists — see
+    streaming.py module docstring."""
     return jnp.einsum("ctjk,cujk->tu", Xi, Xj,
                       preferred_element_type=Xi.dtype)
 
 
 @jax.jit
-def _project_block_fields(phi, X, M, m):
-    """phi += einsum(X - m, M) over the block's time axis; output stays
+def _project_block_fields(phi, Xc, M):
+    """phi += einsum(Xc, M) over a centered block's time axis; output stays
     sharded over 's'."""
-    return phi + jnp.einsum("ctjk,tm->cmjk", X, M,
-                            preferred_element_type=phi.dtype) \
-        - m[:, None] * jnp.sum(M, axis=0)[None, :, None, None]
+    return phi + jnp.einsum("ctjk,tm->cmjk", Xc, M,
+                            preferred_element_type=phi.dtype)
 
 
 def streaming_pod_sharded(
@@ -174,10 +187,21 @@ def streaming_pod_sharded(
             print(f"sharded streaming POD: mean pass done "
                   f"({nb} blocks of {block})")
 
+    # passes 2/3 consume CENTERED blocks — the subtraction is fused into
+    # the sharded generation jit, zero extra full-block HBM temporaries
+    gen_c_block = make_sharded_generator(cfg, fields, filt, mesh, block,
+                                         rotate=rotate, halo=halo,
+                                         center=mean_fields)
+
+    def gen_c(t0):
+        X = gen_c_block(t0)
+        n = min(block, ns - t0)
+        return X[:, :n] if n < block else X
+
     # ---- pass 2: Gram (shared resumable driver) -------------------------
     # gram_group composes with sharding: the HBM panel is itself sharded
     # over the mesh, so the per-device budget scales with 1/num_devices
-    C = streamed_gram(gen, ns, block, mean_fields, _pair_products_fields,
+    C = streamed_gram(gen_c, ns, block, _pair_products_fields,
                       store=store, verbose=verbose,
                       group=getattr(cfg, "gram_group", 1))
 
@@ -195,10 +219,10 @@ def streaming_pod_sharded(
         np.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma),
                  dtype=np.dtype(dtype)), sh_phi)
     for t0 in starts:
-        X = gen(t0)
-        Mb = put_global(Mfull[t0:t0 + X.shape[1]].astype(np.dtype(dtype)),
+        Xc = gen_c(t0)
+        Mb = put_global(Mfull[t0:t0 + Xc.shape[1]].astype(np.dtype(dtype)),
                         sh_repl)
-        phi = _project_block_fields(phi, X, Mb, mean_fields)
+        phi = _project_block_fields(phi, Xc, Mb)
     if verbose:
         print("sharded streaming POD: projection pass done")
 

@@ -110,12 +110,20 @@ def make_generator(
     filt,
     nsteps: Optional[int] = None,
     rotate: bool = True,
+    center=None,
 ):
     """Build a block generator ``gen(t0) -> (3*Np, nsteps)`` with the start
     step ``t0`` as a *dynamic* jit argument — every window of the noise
     stream shares ONE compiled executable.  This is what makes the
     out-of-core streaming POD's O(B^2) block regenerations cheap
-    (streaming.py) and checkpoint/resume block loops compile-free."""
+    (streaming.py) and checkpoint/resume block loops compile-free.
+
+    ``center`` (a ``(3*Np,)`` mean vector) subtracts the mean INSIDE the
+    generation program: XLA fuses it into the pack/rotation epilogue, so
+    the streaming Gram pass gets centered blocks with zero extra HBM
+    buffers (a separate centering op would materialize a second full-block
+    temporary — at the flagship block size that is the difference between
+    fitting in HBM and OOM)."""
     nsteps = cfg.nsteps if nsteps is None else nsteps
     dtype = jnp.dtype(cfg.dtype)
     key = jax.random.key(cfg.seed)
@@ -126,8 +134,7 @@ def make_generator(
 
     # Stress/mean fields are jit *arguments*, not closure constants — large
     # HLO literals hit a pathologically slow remote-compile path on TPU.
-    @jax.jit
-    def gen(t0, key, stresses, means):
+    def body(t0, key, stresses, means):
         if cfg.use_pallas:
             from pods_digital_filter_tpu.ops import pallas_filter
 
@@ -153,7 +160,16 @@ def make_generator(
             A = rotation.rotate_velocity_packed(A, *p.normal)
         return A
 
-    return lambda t0: gen(jnp.asarray(t0, jnp.int32), key, stresses, means)
+    if center is None:
+        gen = jax.jit(body)
+        return lambda t0: gen(jnp.asarray(t0, jnp.int32), key, stresses,
+                              means)
+
+    c = jnp.asarray(center, dtype=dtype)
+    gen_c = jax.jit(lambda t0, key, stresses, means, c:
+                    body(t0, key, stresses, means) - c[:, None])
+    return lambda t0: gen_c(jnp.asarray(t0, jnp.int32), key, stresses,
+                            means, c)
 
 
 def generate_snapshot_matrix(
@@ -417,7 +433,7 @@ def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,
         sp = streaming.streaming_pod(
             cfg, fields, filt, rotate=rotate, block=cfg.streaming_block,
             num_modes_trunc=cfg.podfs.num_modes, tol_cn=cfg.podfs.tol_cn,
-            verbose=cfg.verbose)
+            verbose=cfg.verbose, timer=timer)
     pr = sp.pod
     mean_host = sp.mean_field
 

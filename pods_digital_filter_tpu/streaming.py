@@ -14,11 +14,13 @@ Three streamed passes, holding at most two ``(3*Np, block)`` panels in HBM:
 
 1. column sums  ->  mean field ``m``;
 2. pairwise block GEMMs ``(A_i - m)^T (A_j - m)``  ->  centered Gram.  Each
-   regenerated block is centered *on device before* the GEMM: with a
-   dominant mean (TI ~ 2%) the centered entries are ~1e-4 of the raw
-   magnitudes, so the algebraically-equivalent raw-product + rank-1
-   correction formulation loses ~3-4 significant digits in float32 —
-   centering first keeps the full working precision
+   regenerated block is centered *inside the generation program*
+   (make_generator(center=m) — XLA fuses the subtraction into the pack /
+   rotation epilogue, so it costs zero extra HBM): with a dominant mean
+   (TI ~ 2%) the centered entries are ~1e-4 of the raw magnitudes, so the
+   algebraically-equivalent raw-product + rank-1 correction formulation
+   loses ~3-4 significant digits in float32 — centering first keeps the
+   full working precision
    (tests/test_streaming.py::test_streaming_f32_mean_dominated);
 3. spatial-mode projection ``Phi = sum_b (A_b - m 1^T) M_b`` with
    ``M = T_scaled diag(1/lambda) / Ns`` (PODFS.py:1329-1333).
@@ -69,19 +71,19 @@ def _colsum(A):
 
 
 @jax.jit
-def _pair_products(Ai, Aj, m):
-    """Centered Gram tile ``(Ai - m)^T (Aj - m)`` — mean subtraction happens
-    on device before the GEMM so float32 keeps its full significance even
-    when the mean dominates the fluctuations (see module docstring)."""
-    return jnp.dot((Ai - m[:, None]).T, Aj - m[:, None],
-                   preferred_element_type=Ai.dtype)
+def _pair_products(Ai, Aj):
+    """Gram tile of two ALREADY-CENTERED blocks (the generator subtracts
+    the mean inside the generation program — make_generator(center=m) —
+    so float32 keeps its full significance even when the mean dominates
+    the fluctuations, and no extra full-block centering buffer exists;
+    see module docstring)."""
+    return jnp.dot(Ai.T, Aj, preferred_element_type=Ai.dtype)
 
 
 @jax.jit
-def _project_block(phi, A, M, m):
-    """phi += (A - m 1^T) @ M  ==  A @ M - m * colsum(M)."""
-    return phi + jnp.dot(A, M, preferred_element_type=phi.dtype) \
-        - jnp.outer(m, jnp.sum(M, axis=0))
+def _project_block(phi, Ac, M):
+    """phi += Ac @ M for a centered block."""
+    return phi + jnp.dot(Ac, M, preferred_element_type=phi.dtype)
 
 
 class HostBlockCache:
@@ -124,7 +126,10 @@ class HostBlockCache:
 
     def wrap(self, gen):
         """Memoizing wrapper around a block generator (device arrays in,
-        device arrays out; cached through host memory)."""
+        device arrays out; cached through host memory).  Only RAW blocks
+        are cached (pass 1); the centered generator for passes 2/3 centers
+        the cached block on device with a donated buffer
+        (:func:`make_centered_generator`)."""
 
         def cached(t0):
             hit = self.get(int(t0))
@@ -137,14 +142,16 @@ class HostBlockCache:
         return cached
 
 
-def streamed_gram(gen, ns: int, block: int, m, pair_fn,
+def streamed_gram(gen, ns: int, block: int, pair_fn,
                   time_len=lambda A: A.shape[1], store=None,
                   verbose: bool = False, group: int = 1):
     """The shared O(B^2) pairwise Gram pass over regenerated blocks.
 
-    ``gen(t0)`` returns the block for steps ``[t0, min(t0+block, ns))`` in
-    whatever layout ``pair_fn(Ai, Aj, m) -> (Ai-m).(Aj-m) tile`` consumes
-    (``pair_fn`` centers on device before the contraction).  With a
+    ``gen(t0)`` returns the ALREADY-CENTERED block for steps
+    ``[t0, min(t0+block, ns))`` in whatever layout
+    ``pair_fn(Ai, Aj) -> Ai.Aj tile`` consumes (the mean is subtracted
+    inside the generation program — :func:`make_centered_generator` — so
+    no extra full-block centering buffer exists in HBM).  With a
     :class:`GramCheckpoint` ``store``, completed row strips are loaded
     instead of recomputed and new rows are persisted as they finish
     (kill-and-resume tested in tests/test_streaming.py).  Returns the
@@ -191,7 +198,7 @@ def streamed_gram(gen, ns: int, block: int, m, pair_fn,
                 if tj < ti:
                     continue
                 ni = min(block, ns - ti)
-                Cij = pair_fn(panel[bi], Aj, m)
+                Cij = pair_fn(panel[bi], Aj)
                 C[ti:ti + ni, tj:tj + nj] = to_host(Cij)
         for bi in pending:
             ti, ni = starts[bi], min(block, ns - starts[bi])
@@ -202,6 +209,35 @@ def streamed_gram(gen, ns: int, block: int, m, pair_fn,
     iu = np.triu_indices(ns, 1)
     C[(iu[1], iu[0])] = C[iu]                    # mirror upper -> lower
     return C / ns
+
+
+def make_centered_generator(cfg, fields, filt, block, ns, rotate, m,
+                            cached_raw_gen=None):
+    """Block generator that yields MEAN-CENTERED blocks for the Gram and
+    projection passes.
+
+    Without a cache, the mean subtraction is fused into the generation
+    program itself (``make_generator(center=m)``) — XLA folds it into the
+    pack/rotation epilogue, so centering costs zero extra HBM.  A separate
+    centering op would materialize a second full-block temporary; at the
+    flagship block size (3*Np x 512 f32 ~ 3 GB) that is the difference
+    between fitting in 16 GB HBM and OOM.
+
+    With a :class:`HostBlockCache` (``cached_raw_gen`` set), raw cached
+    blocks are centered on device with a DONATED input buffer (in-place,
+    still no second full-block temporary)."""
+    if cached_raw_gen is not None:
+        sub = jax.jit(lambda A, mm: A - mm[:, None], donate_argnums=0)
+        return lambda t0: sub(cached_raw_gen(t0), m)
+    gen_block = make_generator(cfg, fields, filt, nsteps=block,
+                               rotate=rotate, center=m)
+
+    def gen_c(t0):
+        A = gen_block(t0)
+        n = min(block, ns - t0)
+        return A[:, :n] if n < block else A
+
+    return gen_c
 
 
 def make_gram_store(cfg, filt, fields, rotate, block, extra=()):
@@ -231,6 +267,7 @@ def streaming_pod(
     num_modes_trunc: int | None = None,
     tol_cn: float = 1.0e-15,
     verbose: bool = False,
+    timer=None,
 ) -> StreamingPODResult:
     """Snapshot POD of the full ``cfg.nsteps`` generation run without ever
     materializing the snapshot matrix.
@@ -242,8 +279,12 @@ def streaming_pod(
     ``cfg.gram_group`` > 1 keeps that many row blocks HBM-resident during
     the Gram pass; ``cfg.streaming_cache`` memoizes generated blocks on the
     host (see :func:`streamed_gram` / :class:`HostBlockCache` for when each
-    wins).
+    wins).  ``timer`` (utils.timing.StageTimer) records the per-pass wall
+    times (mean / gram / eigh / projection).
     """
+    from contextlib import nullcontext
+
+    stage = (lambda name: nullcontext()) if timer is None else timer.stage
     ns = cfg.nsteps
     block = min(block, ns)
     starts = _block_starts(ns, block)
@@ -268,44 +309,60 @@ def streaming_pod(
     cache_mode = getattr(cfg, "streaming_cache", "none")
     if cache_mode != "none":
         gen = HostBlockCache(cache_mode).wrap(gen)
+        cached_raw_gen = gen
+    else:
+        cached_raw_gen = None
 
     # ---- pass 1: mean --------------------------------------------------
-    m_host = store.load_mean() if store is not None else None
-    if m_host is not None:
-        m = jnp.asarray(m_host, dtype=jnp.dtype(cfg.dtype))
-        if verbose:
-            print("streaming POD: mean loaded from checkpoint")
-    else:
-        s = None
-        for t0 in starts:
-            cs = _colsum(gen(t0))
-            s = cs if s is None else s + cs
-        m = s / ns                               # (3*Np,) device
-        if store is not None and jax.process_index() == 0:
-            store.save_mean(np.asarray(m, dtype=np.float64))
-        if verbose:
-            print(f"streaming POD: mean pass done ({nb} blocks of {block})")
+    with stage("streaming_mean"):
+        m_host = store.load_mean() if store is not None else None
+        if m_host is not None:
+            m = jnp.asarray(m_host, dtype=jnp.dtype(cfg.dtype))
+            if verbose:
+                print("streaming POD: mean loaded from checkpoint")
+        else:
+            s = None
+            for t0 in starts:
+                cs = _colsum(gen(t0))
+                s = cs if s is None else s + cs
+            m = s / ns                           # (3*Np,) device
+            m.block_until_ready()
+            if store is not None and jax.process_index() == 0:
+                store.save_mean(np.asarray(m, dtype=np.float64))
+            if verbose:
+                print(f"streaming POD: mean pass done "
+                      f"({nb} blocks of {block})")
+
+    # passes 2/3 consume CENTERED blocks; the subtraction lives inside the
+    # generation jit (or a donated-buffer op on cached blocks) — zero extra
+    # full-block HBM temporaries (see make_centered_generator)
+    gen_c = make_centered_generator(cfg, fields, filt, block, ns, rotate, m,
+                                    cached_raw_gen=cached_raw_gen)
 
     # ---- pass 2: Gram (shared, resumable) -------------------------------
-    C = streamed_gram(gen, ns, block, m, _pair_products,
-                      store=store, verbose=verbose,
-                      group=getattr(cfg, "gram_group", 1))
+    with stage("streaming_gram"):
+        C = streamed_gram(gen_c, ns, block, _pair_products,
+                          store=store, verbose=verbose,
+                          group=getattr(cfg, "gram_group", 1))
 
     # ---- eigen half (shared with the in-memory path) -------------------
-    energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
-        C, ns, num_modes_trunc, tol_cn)
+    with stage("streaming_eigh"):
+        energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
+            C, ns, num_modes_trunc, tol_cn)
 
     # ---- pass 3: spatial modes -----------------------------------------
-    dtype = m.dtype
-    Mfull = (temporal[:, :num_trunc]
-             * (1.0 / energy[:num_trunc])[None, :]) / ns
-    phi = jnp.zeros((m.shape[0], num_trunc), dtype=dtype)
-    for t0 in starts:
-        A = gen(t0)
-        Mb = jnp.asarray(Mfull[t0:t0 + A.shape[1]], dtype=dtype)
-        phi = _project_block(phi, A, Mb, m)
-    if verbose:
-        print("streaming POD: projection pass done")
+    with stage("streaming_projection"):
+        dtype = m.dtype
+        Mfull = (temporal[:, :num_trunc]
+                 * (1.0 / energy[:num_trunc])[None, :]) / ns
+        phi = jnp.zeros((m.shape[0], num_trunc), dtype=dtype)
+        for t0 in starts:
+            Ac = gen_c(t0)
+            Mb = jnp.asarray(Mfull[t0:t0 + Ac.shape[1]], dtype=dtype)
+            phi = _project_block(phi, Ac, Mb)
+        phi.block_until_ready()
+        if verbose:
+            print("streaming POD: projection pass done")
 
     pr = pod_ops.PODResult(
         energy=energy,

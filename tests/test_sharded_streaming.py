@@ -160,9 +160,19 @@ def _run_resumable(cfg, kill_after=None):
             raise _Killed()
         return real(t0)
 
+    import jax.numpy as jnp
+
     import pods_digital_filter_tpu.streaming as smod
+
+    def fake_make_generator(*a, center=None, **k):
+        # honor the make_generator contract: center=m yields centered blocks
+        if center is None:
+            return counted
+        c = jnp.asarray(center)
+        return lambda t0: counted(t0) - c[:, None]
+
     orig = smod.make_generator
-    smod.make_generator = lambda *a, **k: counted
+    smod.make_generator = fake_make_generator
     try:
         with pytest.raises(_Killed):
             streaming.streaming_pod(cfg2, fields, filt, rotate=rotate,
