@@ -125,6 +125,7 @@ def streaming_pod_sharded(
     num_modes_trunc: int | None = None,
     tol_cn: float = 1.0e-15,
     verbose: bool = False,
+    timer=None,
 ) -> ShardedStreamingResult:
     """Out-of-core POD with every panel sharded over the mesh.
 
@@ -133,7 +134,11 @@ def streaming_pod_sharded(
     tests/test_sharded_streaming.py.  ``cfg.checkpoint_dir`` makes the mean
     and Gram passes resumable (the checkpoint stores mesh-independent
     host float64, so a run may resume on a different mesh shape).
+    ``timer`` (utils.timing.StageTimer) records per-pass wall times.
     """
+    from contextlib import nullcontext
+
+    stage = (lambda name: nullcontext()) if timer is None else timer.stage
     ns = cfg.nsteps
     nt = mesh.shape["t"]
     block = min(block, ns)
@@ -163,29 +168,31 @@ def streaming_pod_sharded(
         return X[:, :n] if n < block else X
 
     # ---- pass 1: mean (stays sharded over 's') --------------------------
-    m_host = store.load_mean() if store is not None else None
-    if m_host is not None:
-        mean_fields = put_global(
-            m_host.reshape(3, cfg.plane.jma, cfg.plane.kma).astype(dtype),
-            jax.sharding.NamedSharding(mesh,
-                                       jax.sharding.PartitionSpec(None, None, "s")))
-        if verbose:
-            print("sharded streaming POD: mean loaded from checkpoint")
-    else:
-        s = None
-        for t0 in starts:
-            cs = _colsum_fields(gen(t0))
-            s = cs if s is None else s + cs
-        mean_fields = s / ns                     # (3, jma, kma) sharded 's'
-        if store is not None:
-            # to_host is a cross-process collective (process_allgather):
-            # every process must execute it; only the lead writes the file
-            m_flat = to_host(mean_fields).reshape(-1)
-            if jax.process_index() == 0:
-                store.save_mean(m_flat)
-        if verbose:
-            print(f"sharded streaming POD: mean pass done "
-                  f"({nb} blocks of {block})")
+    with stage("streaming_mean"):
+        m_host = store.load_mean() if store is not None else None
+        if m_host is not None:
+            mean_fields = put_global(
+                m_host.reshape(3, cfg.plane.jma, cfg.plane.kma).astype(dtype),
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(None, None, "s")))
+            if verbose:
+                print("sharded streaming POD: mean loaded from checkpoint")
+        else:
+            s = None
+            for t0 in starts:
+                cs = _colsum_fields(gen(t0))
+                s = cs if s is None else s + cs
+            mean_fields = s / ns                 # (3, jma, kma) sharded 's'
+            mean_fields.block_until_ready()
+            if store is not None:
+                # to_host is a cross-process collective (process_allgather):
+                # every process must execute it; only the lead writes the file
+                m_flat = to_host(mean_fields).reshape(-1)
+                if jax.process_index() == 0:
+                    store.save_mean(m_flat)
+            if verbose:
+                print(f"sharded streaming POD: mean pass done "
+                      f"({nb} blocks of {block})")
 
     # passes 2/3 consume CENTERED blocks — the subtraction is fused into
     # the sharded generation jit, zero extra full-block HBM temporaries
@@ -201,30 +208,35 @@ def streaming_pod_sharded(
     # ---- pass 2: Gram (shared resumable driver) -------------------------
     # gram_group composes with sharding: the HBM panel is itself sharded
     # over the mesh, so the per-device budget scales with 1/num_devices
-    C = streamed_gram(gen_c, ns, block, _pair_products_fields,
-                      store=store, verbose=verbose,
-                      group=getattr(cfg, "gram_group", 1))
+    with stage("streaming_gram"):
+        C = streamed_gram(gen_c, ns, block, _pair_products_fields,
+                          store=store, verbose=verbose,
+                          group=getattr(cfg, "gram_group", 1))
 
     # ---- eigen half ------------------------------------------------------
-    energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
-        C, ns, num_modes_trunc, tol_cn)
+    with stage("streaming_eigh"):
+        energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
+            C, ns, num_modes_trunc, tol_cn)
 
     # ---- pass 3: spatial modes (sharded over 's') ------------------------
-    Mfull = (temporal[:, :num_trunc]
-             * (1.0 / energy[:num_trunc])[None, :]) / ns
-    sh_phi = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, None, None, "s"))
-    sh_repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    phi = put_global(
-        np.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma),
-                 dtype=np.dtype(dtype)), sh_phi)
-    for t0 in starts:
-        Xc = gen_c(t0)
-        Mb = put_global(Mfull[t0:t0 + Xc.shape[1]].astype(np.dtype(dtype)),
-                        sh_repl)
-        phi = _project_block_fields(phi, Xc, Mb)
-    if verbose:
-        print("sharded streaming POD: projection pass done")
+    with stage("streaming_projection"):
+        Mfull = (temporal[:, :num_trunc]
+                 * (1.0 / energy[:num_trunc])[None, :]) / ns
+        sh_phi = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, None, None, "s"))
+        sh_repl = jax.sharding.NamedSharding(mesh,
+                                             jax.sharding.PartitionSpec())
+        phi = put_global(
+            np.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma),
+                     dtype=np.dtype(dtype)), sh_phi)
+        for t0 in starts:
+            Xc = gen_c(t0)
+            Mb = put_global(Mfull[t0:t0 + Xc.shape[1]]
+                            .astype(np.dtype(dtype)), sh_repl)
+            phi = _project_block_fields(phi, Xc, Mb)
+        phi.block_until_ready()
+        if verbose:
+            print("sharded streaming POD: projection pass done")
 
     # pack to the reference layout (row = c*Np + j*kma + k) on the host —
     # only the m truncated modes and the mean cross the host boundary

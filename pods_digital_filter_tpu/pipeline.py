@@ -394,7 +394,7 @@ def _run_pipeline_sharded_streaming(cfg, fields, dt, filt, rotate, geom,
             cfg, fields, filt, mesh, rotate=rotate,
             block=cfg.streaming_block,
             num_modes_trunc=cfg.podfs.num_modes, tol_cn=cfg.podfs.tol_cn,
-            verbose=cfg.verbose)
+            verbose=cfg.verbose, timer=timer)
     pr = sp.pod
     mean_host = sp.mean_field
 
