@@ -111,32 +111,19 @@ class PODResult:
     num_trunc: int
 
 
-@jax.jit
-def _eigh_desc(C: jax.Array):
-    e, v = jnp.linalg.eigh(C)
-    return e[::-1], v[:, ::-1]
-
-
-# Below this Gram size the eigendecomposition runs on the host in float64:
-# an Ns x Ns eigh with Ns in the thousands is microseconds-to-milliseconds on
-# CPU, while the TPU lowering (Jacobi sweeps = many tiny kernels) is pure
-# overhead — catastrophically so through a remote-dispatch tunnel.  The
-# device keeps the O(Np*Ns^2) matmuls either side.  Host fp64 also improves
-# spectral parity with the reference's np.linalg.eig (PODFS.py:1309).
-HOST_EIG_MAX_NS = 8192
-
-
 def eigh_desc(C) -> tuple:
-    """Descending symmetric eigendecomposition of the Gram matrix; host
-    float64 for small C (the common case), device eigh beyond
-    ``HOST_EIG_MAX_NS``.  Returns host numpy (energy, vectors)."""
-    ns = C.shape[0]
-    if ns <= HOST_EIG_MAX_NS:
-        Ch = np.asarray(C, dtype=np.float64)
-        e, v = np.linalg.eigh((Ch + Ch.T) * 0.5)
-        return e[::-1], v[:, ::-1]
-    e, v = _eigh_desc(C)
-    return np.asarray(e, dtype=np.float64), np.asarray(v, dtype=np.float64)
+    """Descending symmetric eigendecomposition of the Gram matrix — always
+    host float64.  The Ns x Ns eigh is the one dense non-MXU stage: LAPACK
+    dsyevd on the host wins at every size that fits in RAM (the TPU eigh
+    lowering is Jacobi sweeps — many tiny kernels, pure overhead through a
+    remote-dispatch tunnel, and at Ns >= 10k it crashes this backend's
+    compile helper outright — measured in benchmarks/bench_flagship.py:
+    10240 x 10240 in ~100 s host fp64).  The device keeps the O(Np*Ns^2)
+    matmuls either side; host fp64 also improves spectral parity with the
+    reference's np.linalg.eig (PODFS.py:1309).  Returns (energy, vectors)."""
+    Ch = np.asarray(C, dtype=np.float64)
+    e, v = np.linalg.eigh((Ch + Ch.T) * 0.5)
+    return e[::-1], v[:, ::-1]
 
 
 @jax.jit
@@ -160,12 +147,15 @@ def temporal_from_gram(C, ns: int, num_modes_trunc: int, tol_cn: float):
         num_modes_trunc = num_valid
 
     # Temporal-mode scaling (PODFS.py:1322-1325): scale each valid column so
-    # its mean square equals its eigenvalue.
+    # its mean square equals its eigenvalue (vectorized — one fused pass
+    # instead of Ns strided-column operations).
     temporal = vecs.copy()
-    for j in range(num_valid):
-        mag = np.sum(temporal[:, j] * temporal[:, j]) / ns
-        if mag > 0:
-            temporal[:, j] = temporal[:, j] * np.sqrt(max(energy[j], 0.0) / mag)
+    mag = np.einsum("ij,ij->j", temporal[:, :num_valid],
+                    temporal[:, :num_valid]) / ns
+    scale = np.where(mag > 0,
+                     np.sqrt(np.maximum(energy[:num_valid], 0.0)
+                             / np.where(mag > 0, mag, 1.0)), 1.0)
+    temporal[:, :num_valid] *= scale[None, :]
     return energy, temporal, num_valid, num_modes_trunc
 
 
