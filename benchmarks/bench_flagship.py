@@ -165,7 +165,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crossover", action="store_true")
     ap.add_argument("--nsteps", type=int, default=10240)
-    ap.add_argument("--gram_group", type=int, default=2)
+    # group=1 is the flagship default: at block 512 a second resident row
+    # block (+3.2 GiB) pushes the Gram-pass peak past 16 GiB HBM (measured
+    # ResourceExhausted; see docs/performance.md flagship section)
+    ap.add_argument("--gram_group", type=int, default=1)
     ap.add_argument("--no_pallas", action="store_true")
     ap.add_argument("--outdir", default="/tmp/flagship_run/PODFS")
     args = ap.parse_args()

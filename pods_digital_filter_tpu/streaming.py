@@ -240,6 +240,40 @@ def make_centered_generator(cfg, fields, filt, block, ns, rotate, m,
     return gen_c
 
 
+def gram_pass_hbm_estimate(np3: int, block: int, group: int, itemsize: int,
+                           nfx: int) -> int:
+    """Analytic peak device bytes of the Gram-pass column sweep: the
+    resident panel (``group`` row blocks) + the regenerated column block +
+    the generation transients (the filtered-slab tensor of ``block+2*nfx``
+    slabs and the temporal-FIR output, which coexist inside the generation
+    program).  Matches the measured behavior at the flagship size
+    (1024x512, block 512, f32): group=1 ~ 13 GiB fits in 16 GiB HBM,
+    group=2 ResourceExhausts (docs/performance.md)."""
+    blk = np3 * block * itemsize
+    transients = blk * (2 + 2 * nfx / max(block, 1))
+    return int(group * blk + transients)
+
+
+# Conservative single-chip HBM budget used only to WARN before a Gram pass
+# that is likely to ResourceExhaust (v5e = 16 GiB; no backend-portable
+# query exists — this backend's Device.memory_stats() returns None).
+HBM_WARN_BYTES = int(15.5 * 2 ** 30)
+
+
+def _warn_gram_hbm(np3, block, group, itemsize, nfx):
+    est = gram_pass_hbm_estimate(np3, block, group, itemsize, nfx)
+    if group > 1 and est > HBM_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"--gram_group {group} puts the Gram-pass peak at an estimated "
+            f"{est / 2 ** 30:.1f} GiB of device HBM "
+            f"(panel {group} x {np3 * block * itemsize / 2 ** 30:.1f} GiB "
+            f"+ generation transients) — likely ResourceExhausted on a "
+            f"16 GiB chip; reduce --gram_group or --streaming_block.",
+            stacklevel=3)
+
+
 def make_gram_store(cfg, filt, fields, rotate, block, extra=()):
     """GramCheckpoint keyed by everything that determines the Gram values —
     including the resolved turbulence stress/mean fields (the Lund coloring
@@ -295,6 +329,10 @@ def streaming_pod(
     store = None
     if getattr(cfg, "checkpoint_dir", "none") != "none":
         store = make_gram_store(cfg, filt, fields, rotate, block)
+
+    _warn_gram_hbm(3 * cfg.plane.jma * cfg.plane.kma, block,
+                   getattr(cfg, "gram_group", 1),
+                   jnp.dtype(cfg.dtype).itemsize, filt.nfx)
 
     # one compiled executable for every block (t0 is a dynamic argument);
     # the ragged final block generates a full window and keeps the first

@@ -195,3 +195,22 @@ def test_cache_rejected_with_sharding(tmp_path):
         _cfg(tmp_path, gram_group=0, streaming_block=4).validate()
     with pytest.raises(ValueError, match="only apply"):
         _cfg(tmp_path, gram_group=4).validate()
+
+
+def test_gram_hbm_estimate_and_warning(tmp_path):
+    """The analytic Gram-pass HBM estimator reproduces the measured
+    flagship behavior (1024x512 plane, block 512, f32, nfx=8): group=1
+    fits under the 15.5 GiB warn threshold, group=2 exceeds it — and
+    streaming_pod emits the pre-run UserWarning for the latter."""
+    np3 = 3 * 1024 * 512
+    fits = streaming.gram_pass_hbm_estimate(np3, 512, 1, 4, 8)
+    oom = streaming.gram_pass_hbm_estimate(np3, 512, 2, 4, 8)
+    assert fits < streaming.HBM_WARN_BYTES < oom
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # group=1: no warning
+        streaming._warn_gram_hbm(np3, 512, 1, 4, 8)
+    with pytest.warns(UserWarning, match="gram_group 2"):
+        streaming._warn_gram_hbm(np3, 512, 2, 4, 8)
