@@ -112,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "host (ram) or as .npy memmaps (disk) — wins only "
                         "when the host link outruns regeneration; "
                         "single-process only")
+    p.add_argument("--eig_mode", default="auto",
+                   choices=("auto", "full", "topk"),
+                   help="streaming POD eigendecomposition: full = all "
+                        "eigenvectors (host LAPACK); topk = full spectrum "
+                        "(eigvalsh) + Lanczos top-nm vectors only (~2x "
+                        "faster at 10k snapshots); auto = topk for large "
+                        "non-verbose runs")
     p.add_argument("--timings", action="store_true", help="print stage timings")
     # --- multi-process (multi-host) execution -------------------------------
     p.add_argument("--multihost", action="store_true",
@@ -167,6 +174,7 @@ def config_from_args(args) -> PipelineConfig:
         streaming_block=args.streaming_block,
         gram_group=args.gram_group,
         streaming_cache=args.streaming_cache,
+        eig_mode=args.eig_mode,
     )
 
 

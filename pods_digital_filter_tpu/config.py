@@ -150,6 +150,15 @@ class PipelineConfig:
     # (measured crossover: benchmarks/bench_flagship.py).
     gram_group: int = 1
     streaming_cache: str = "none"
+    # Eigendecomposition strategy for the streaming POD's Ns x Ns Gram
+    # (ops/pod.py:resolve_num_vectors).  "full": host LAPACK dsyevd, all
+    # eigenvectors (needed by --verbose, which exports every valid temporal
+    # mode).  "topk": two-phase — eigvalsh full SPECTRUM (valid-mode count
+    # + eigenvalue file consume every eigenvalue) + Lanczos top-num_modes
+    # VECTORS only (projection/Fourier consume only those); ~2x faster at
+    # Ns = 10,240 where the full back-transform computes 10,240 vectors to
+    # use 20.  "auto": topk for large non-verbose runs.
+    eig_mode: str = "auto"
 
     @property
     def np_dtype(self):
@@ -208,6 +217,13 @@ class PipelineConfig:
             raise ValueError(
                 "--streaming_cache/--gram_group only apply to the streaming "
                 "POD (--streaming_block)")
+        if self.eig_mode not in ("auto", "full", "topk"):
+            raise ValueError(f"eig_mode={self.eig_mode!r}: auto|full|topk")
+        if self.eig_mode == "topk" and self.verbose:
+            raise ValueError(
+                "--eig_mode topk computes only the truncated eigenvectors; "
+                "--verbose exports every valid temporal mode and needs the "
+                "full basis (use --eig_mode full or auto)")
 
     def compute_dt(self, U: np.ndarray, V=0.0, W=0.0) -> Tuple[float, "FilterConfig"]:
         """Timestep logic of digitalfilters.py:1311-1322.

@@ -582,13 +582,20 @@ def generate_correlated_noise_fused(
 def generation_stream_tag(use_pallas: bool, jma: int, kma: int, nfy: int,
                           nfz: int) -> str:
     """Which noise stream a configuration generates with — part of the
-    checkpoint fingerprint, because the three streams (XLA Threefry,
-    full-slab Mosaic PRNG, row-block-keyed tiled Mosaic PRNG) produce
-    different values for the same seed."""
+    checkpoint fingerprint, because the streams (XLA Threefry, full-slab
+    Mosaic PRNG, row-block-keyed tiled Mosaic PRNG, and their interpret-mode
+    stand-ins) produce different values for the same seed.
+
+    The effective backend is part of the tag: with ``use_pallas`` on a
+    non-TPU backend the kernels run under the Mosaic interpreter, whose
+    host-side Threefry draw is a *different stream* from the on-core PRNG —
+    a checkpoint written on CPU must not silently resume on TPU (or vice
+    versa) as if it held the same noise."""
     if not use_pallas:
         return "xla-threefry-v1"
+    interp = "-interpret" if jax.default_backend() != "tpu" else ""
     if fused_spatial_available(jma, kma, nfy, nfz):
-        return "pallas-full-v1"
+        return f"pallas-full{interp}-v1"
     if fused_spatial_tiled_available(jma, kma, nfy, nfz):
-        return "pallas-tiled-v1"
+        return f"pallas-tiled{interp}-v1"
     return "xla-threefry-v1"

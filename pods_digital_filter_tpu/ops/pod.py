@@ -126,6 +126,45 @@ def eigh_desc(C) -> tuple:
     return e[::-1], v[:, ::-1]
 
 
+def eig_spectrum_desc(C) -> np.ndarray:
+    """Full eigenvalue spectrum only (descending, host float64) — LAPACK
+    ``dsyevd`` with jobz='N' skips the eigenvector back-transform, ~2x
+    faster than :func:`eigh_desc` at Ns = 10,240 on this 2-core host
+    (62.8 s vs 109.3 s measured).  Downstream consumers of the *spectrum*
+    (valid-mode count, the eigenvalue file — PODFS.py:1312-1318, 1409-1427)
+    need every eigenvalue; the *vectors* are only consumed truncated
+    (projection PODFS.py:1329-1333, Fourier stage) — see
+    :func:`eigh_desc_topk`."""
+    Ch = np.asarray(C, dtype=np.float64)
+    return np.linalg.eigvalsh((Ch + Ch.T) * 0.5)[::-1]
+
+
+def eigh_desc_topk(C, k: int) -> tuple:
+    """Top-``k`` eigenpairs only (descending, host float64).
+
+    For large Ns this is Lanczos (``scipy.sparse.linalg.eigsh``) — a
+    matvec-bound iteration, seconds where a dense solve pays the full
+    O(4/3 Ns^3) tridiagonalization (~60 s at Ns = 10,240 on this host; a
+    LAPACK subset driver like syevr pays the same tridiagonalization, so
+    it is NO faster than the full spectrum — measured, hence
+    Lanczos).  Small problems use the dense subset driver (ARPACK needs
+    k << n and enough Krylov room).  Eigenvector signs are arbitrary, as
+    everywhere in this pipeline (the PODFS replay is sign-invariant)."""
+    Ch = np.asarray(C, dtype=np.float64)
+    n = Ch.shape[0]
+    k = min(k, n)
+    Cs = (Ch + Ch.T) * 0.5
+    if n < 2048 or k > n // 4:
+        from scipy.linalg import eigh as scipy_eigh
+
+        e, v = scipy_eigh(Cs, subset_by_index=[n - k, n - 1])
+    else:
+        from scipy.sparse.linalg import eigsh
+
+        e, v = eigsh(Cs, k=k, which="LA")
+    return e[::-1], v[:, ::-1]
+
+
 @jax.jit
 def _spatial_modes(A: jax.Array, T_scaled: jax.Array, energy: jax.Array):
     """``Phi = A @ T @ diag(1/lambda) / Ns`` (PODFS.py:1329-1333)."""
@@ -134,13 +173,56 @@ def _spatial_modes(A: jax.Array, T_scaled: jax.Array, energy: jax.Array):
     return jnp.dot(A, M, preferred_element_type=A.dtype) / ns
 
 
-def temporal_from_gram(C, ns: int, num_modes_trunc: int, tol_cn: float):
+def resolve_num_vectors(cfg, ns: int, num_modes_trunc: int) -> int | None:
+    """How many eigenVECTORS the streaming POD needs (``cfg.eig_mode``):
+
+    * ``"full"`` -> None (complete basis, the round-3 behavior);
+    * ``"topk"`` -> the truncated mode count (two-phase eigvalsh+Lanczos);
+    * ``"auto"`` -> topk for large non-verbose runs, where the full
+      back-transform is pure waste (the flagship consumes 20 of 10,240
+      vectors); full otherwise.  ``--verbose`` forces full: the temporal-
+      mode export writes every valid mode (PODFS.py:1356,
+      pipeline._export_model).
+    """
+    mode = getattr(cfg, "eig_mode", "auto")
+    if mode == "full":
+        return None
+    if num_modes_trunc < 0:                 # "all valid modes" requested
+        return None
+    if mode == "topk":
+        return num_modes_trunc
+    return (num_modes_trunc
+            if ns >= 4096 and not getattr(cfg, "verbose", False) else None)
+
+
+def temporal_from_gram(C, ns: int, num_modes_trunc: int, tol_cn: float,
+                       num_vectors: int | None = None):
     """The eigen half of snapshot POD: Gram matrix -> sorted eigenvalues,
     valid-mode count, and reference-scaled temporal modes
     (PODFS.py:1309-1325).  Host numpy outputs; shared by the in-memory and
-    the out-of-core (streaming) POD paths."""
-    energy, vecs = eigh_desc(C)
-    energy, vecs = sort_eigenvalues_desc(energy, vecs)
+    the out-of-core (streaming) POD paths.
+
+    ``num_vectors=None`` (default) computes the full eigenvector basis
+    (``temporal`` is (Ns, Ns)) — required when all valid temporal modes are
+    exported (``--verbose``).  An int ``k`` switches to the two-phase
+    decomposition: full SPECTRUM via ``eigvalsh`` (the valid-mode count and
+    the eigenvalue file consume every eigenvalue) but only the top
+    ``max(k, num_modes_trunc)`` eigenVECTORS (Lanczos — the projection and
+    Fourier stages consume only the truncated modes); ``temporal`` is then
+    (Ns, k).  Identical spectrum, identical truncated modes up to
+    eigenvector sign (tests/test_pod.py::test_two_phase_eig_parity)."""
+    if num_vectors is None:
+        energy, vecs = eigh_desc(C)
+        energy, vecs = sort_eigenvalues_desc(energy, vecs)
+    else:
+        energy = eig_spectrum_desc(C)
+        # reference NaN semantics (sort_eigenvalues, PODFS.py:1430-1447)
+        # applied to the spectrum alone
+        nan_mask = ~np.isfinite(energy)
+        energy = np.where(nan_mask, -1.0e10, energy)
+        energy = np.sort(energy)[::-1]
+        k = max(1, min(max(int(num_vectors), num_modes_trunc), ns))
+        _, vecs = eigh_desc_topk(C, k)
 
     num_valid = count_valid_modes(energy, tol_cn)
     if num_modes_trunc < 0 or num_modes_trunc > num_valid:
@@ -149,13 +231,13 @@ def temporal_from_gram(C, ns: int, num_modes_trunc: int, tol_cn: float):
     # Temporal-mode scaling (PODFS.py:1322-1325): scale each valid column so
     # its mean square equals its eigenvalue (vectorized — one fused pass
     # instead of Ns strided-column operations).
+    nv = min(num_valid, vecs.shape[1])
     temporal = vecs.copy()
-    mag = np.einsum("ij,ij->j", temporal[:, :num_valid],
-                    temporal[:, :num_valid]) / ns
+    mag = np.einsum("ij,ij->j", temporal[:, :nv], temporal[:, :nv]) / ns
     scale = np.where(mag > 0,
-                     np.sqrt(np.maximum(energy[:num_valid], 0.0)
+                     np.sqrt(np.maximum(energy[:nv], 0.0)
                              / np.where(mag > 0, mag, 1.0)), 1.0)
-    temporal[:, :num_valid] *= scale[None, :]
+    temporal[:, :nv] *= scale[None, :]
     return energy, temporal, num_valid, num_modes_trunc
 
 

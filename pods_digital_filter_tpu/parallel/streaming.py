@@ -27,7 +27,7 @@ from jax.sharding import Mesh
 
 from pods_digital_filter_tpu.ops import lund, pod as pod_ops, rotation
 from pods_digital_filter_tpu.parallel import sharding as shard_lib
-from pods_digital_filter_tpu.parallel.mesh import put_global, to_host
+from pods_digital_filter_tpu.parallel.mesh import hard_sync, put_global, to_host
 from pods_digital_filter_tpu.streaming import (
     StreamingPODResult, _block_starts, make_gram_store, streamed_gram)
 
@@ -183,7 +183,7 @@ def streaming_pod_sharded(
                 cs = _colsum_fields(gen(t0))
                 s = cs if s is None else s + cs
             mean_fields = s / ns                 # (3, jma, kma) sharded 's'
-            mean_fields.block_until_ready()
+            hard_sync(mean_fields)
             if store is not None:
                 # to_host is a cross-process collective (process_allgather):
                 # every process must execute it; only the lead writes the file
@@ -207,16 +207,27 @@ def streaming_pod_sharded(
 
     # ---- pass 2: Gram (shared resumable driver) -------------------------
     # gram_group composes with sharding: the HBM panel is itself sharded
-    # over the mesh, so the per-device budget scales with 1/num_devices
+    # over the mesh, so the per-device budget scales with 1/num_devices.
+    # The panel/strip buffers must be GLOBAL arrays (a process-local
+    # jnp.zeros cannot mix with mesh-sharded operands under
+    # jax.distributed): panel spatially sharded over 's', strip replicated
+    def _make_buf(shape, dtype):
+        spec = (jax.sharding.PartitionSpec(None, None, None, "s")
+                if len(shape) == 4 else jax.sharding.PartitionSpec())
+        sh = jax.sharding.NamedSharding(mesh, spec)
+        return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sh)()
+
     with stage("streaming_gram"):
         C = streamed_gram(gen_c, ns, block, _pair_products_fields,
                           store=store, verbose=verbose,
-                          group=getattr(cfg, "gram_group", 1))
+                          group=getattr(cfg, "gram_group", 1),
+                          make_buf=_make_buf)
 
     # ---- eigen half ------------------------------------------------------
     with stage("streaming_eigh"):
         energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
-            C, ns, num_modes_trunc, tol_cn)
+            C, ns, num_modes_trunc, tol_cn,
+            num_vectors=pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc))
 
     # ---- pass 3: spatial modes (sharded over 's') ------------------------
     with stage("streaming_projection"):
@@ -234,7 +245,7 @@ def streaming_pod_sharded(
             Mb = put_global(Mfull[t0:t0 + Xc.shape[1]]
                             .astype(np.dtype(dtype)), sh_repl)
             phi = _project_block_fields(phi, Xc, Mb)
-        phi.block_until_ready()
+        hard_sync(phi)
         if verbose:
             print("sharded streaming POD: projection pass done")
 

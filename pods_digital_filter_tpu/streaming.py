@@ -142,27 +142,71 @@ class HostBlockCache:
         return cached
 
 
-def streamed_gram(gen, ns: int, block: int, pair_fn,
-                  time_len=lambda A: A.shape[1], store=None,
-                  verbose: bool = False, group: int = 1):
+def _insert_time_impl(buf, blk, pos):
+    """``buf[:, pos:pos+T, ...] = blk`` along the time axis (axis 1 in both
+    the packed ``(3*Np, T)`` and the field ``(C, T, jma, kma)`` layouts).
+    The buffer is donated — on TPU the update aliases in place."""
+    idx = (jnp.int32(0), jnp.asarray(pos, jnp.int32)) + \
+        (jnp.int32(0),) * (buf.ndim - 2)
+    return jax.lax.dynamic_update_slice(buf, blk, idx)
+
+
+_insert_time = jax.jit(_insert_time_impl, donate_argnums=0)
+
+
+def _slice_time_impl(buf, pos, n):
+    return jax.lax.dynamic_slice_in_dim(buf, pos, n, axis=1)
+
+
+# static slice width (2 variants at most: full block + ragged tail); the
+# start offset stays dynamic so every panel shares one executable
+_slice_time = jax.jit(_slice_time_impl, static_argnums=2)
+
+
+def _contiguous_runs(indices):
+    """Split a sorted index list into maximal contiguous runs."""
+    runs, run = [], []
+    for i in indices:
+        if run and i != run[-1] + 1:
+            runs.append(run)
+            run = []
+        run.append(i)
+    if run:
+        runs.append(run)
+    return runs
+
+
+def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
+                  verbose: bool = False, group: int = 1, make_buf=None):
     """The shared O(B^2) pairwise Gram pass over regenerated blocks.
 
     ``gen(t0)`` returns the ALREADY-CENTERED block for steps
     ``[t0, min(t0+block, ns))`` in whatever layout
-    ``pair_fn(Ai, Aj) -> Ai.Aj tile`` consumes (the mean is subtracted
-    inside the generation program — :func:`make_centered_generator` — so
-    no extra full-block centering buffer exists in HBM).  With a
-    :class:`GramCheckpoint` ``store``, completed row strips are loaded
-    instead of recomputed and new rows are persisted as they finish
-    (kill-and-resume tested in tests/test_streaming.py).  Returns the
-    centered Gram ``C = (A-m)^T (A-m) / ns`` as host float64.
+    ``pair_fn(panel, Aj) -> panel.Aj tile`` consumes, with the time axis at
+    axis 1 (the mean is subtracted inside the generation program —
+    :func:`make_centered_generator` — so no extra full-block centering
+    buffer exists in HBM).  With a :class:`GramCheckpoint` ``store``,
+    completed row strips are loaded instead of recomputed and new rows are
+    persisted as they finish (kill-and-resume tested in
+    tests/test_streaming.py).  Returns the centered Gram
+    ``C = (A-m)^T (A-m) / ns`` as host float64.
 
     ``group`` (``--gram_group``) holds that many row blocks resident in
-    device HBM while sweeping the columns once for all of them — the
-    TPU-native cache: generations drop from B(B+1)/2 to ~B^2/(2*group)
-    with no host traffic at all (the host-RAM cache trades regeneration
-    for host-link uploads instead, which loses on a remote-tunnel chip).
-    ``group=1`` is the round-2 behavior.
+    device HBM as ONE wide panel while sweeping the columns once for all
+    of them — the TPU-native cache: regenerated samples drop by
+    ``group``x with no host traffic at all (the host-RAM cache trades
+    regeneration for host-link uploads instead, which loses on a
+    remote-tunnel chip).
+
+    Device-resident accumulation (round-4 restructure): every column's
+    Gram tile is written into a device ``(panel_width, ns)`` strip buffer
+    (donated ``dynamic_update_slice`` — in place on TPU), so the column
+    sweep is a pure async dispatch chain (generate -> one wide GEMM ->
+    strip update) with NO host synchronization; the strip crosses the host
+    boundary ONCE when the sweep finishes.  The round-3 formulation
+    downloaded every (block, block) tile synchronously — on a
+    remote-tunnel chip that sync dominated the whole pass
+    (benchmarks/probe_gram_loop.py).
     """
     from pods_digital_filter_tpu.parallel.mesh import to_host
 
@@ -171,6 +215,10 @@ def streamed_gram(gen, ns: int, block: int, pair_fn,
     nb = len(starts)
     C = np.zeros((ns, ns), dtype=np.float64)
     group = max(1, int(group))
+    # buffer allocator: the sharded path passes one that creates GLOBAL
+    # arrays with mesh shardings (a plain jnp.zeros is process-local and
+    # cannot mix with global operands under jax.distributed)
+    zeros = jnp.zeros if make_buf is None else make_buf
 
     for g0 in range(0, nb, group):
         rows = list(range(g0, min(g0 + group, nb)))
@@ -183,29 +231,48 @@ def streamed_gram(gen, ns: int, block: int, pair_fn,
                 if verbose:
                     print(f"streaming POD: gram row {bi + 1}/{nb} "
                           "(from checkpoint)")
-        if not pending:
-            continue
-        # generate the panel's rows once; they stay HBM-resident for the
-        # whole column sweep
-        panel = {bi: gen(starts[bi]) for bi in pending}
-        for ji, tj in enumerate(starts[pending[0]:], start=pending[0]):
-            Aj = panel.get(ji)
-            if Aj is None:
-                Aj = gen(tj)
-            nj = time_len(Aj)
-            for bi in pending:
+        # rows complete in order, so pending is contiguous; handle the
+        # general case anyway (a hand-edited store) by sweeping each run
+        for run in _contiguous_runs(pending):
+            t_lo = starts[run[0]]                      # first strip step
+            widths = [min(block, ns - starts[bi]) for bi in run]
+            w = sum(widths)
+            # build the wide resident panel: generate each row block and
+            # insert it at its strip offset (donated buffer — no second
+            # panel-sized temporary)
+            first = gen(t_lo)
+            shape = list(first.shape)
+            shape[1] = w
+            panel = zeros(tuple(shape), first.dtype)
+            panel = _insert_time(panel, first, 0)
+            off = widths[0]
+            for bi, wi in zip(run[1:], widths[1:]):
+                panel = _insert_time(panel, gen(starts[bi]), off)
+                off += wi
+            # device-resident Gram strip for this panel, upper-triangular
+            # columns only [t_lo, ns); the column sweep is pure async
+            # dispatch — no host sync until the single strip download
+            strip = zeros((w, ns - t_lo), first.dtype)
+            for ji in range(run[0], nb):
+                tj = starts[ji]
+                nj = min(block, ns - tj)
+                if run[0] <= ji <= run[-1]:
+                    # the column block is a panel slice — no regeneration
+                    o = sum(widths[:ji - run[0]])
+                    Aj = _slice_time(panel, jnp.asarray(o, jnp.int32), nj)
+                else:
+                    Aj = gen(tj)
+                strip = _insert_time(strip, pair_fn(panel, Aj), tj - t_lo)
+            host_strip = to_host(strip)                # ONE download
+            off = 0
+            for bi, wi in zip(run, widths):
                 ti = starts[bi]
-                if tj < ti:
-                    continue
-                ni = min(block, ns - ti)
-                Cij = pair_fn(panel[bi], Aj)
-                C[ti:ti + ni, tj:tj + nj] = to_host(Cij)
-        for bi in pending:
-            ti, ni = starts[bi], min(block, ns - starts[bi])
-            if store is not None and lead:
-                store.save_row(bi, C[ti:ti + ni, ti:])
-            if verbose:
-                print(f"streaming POD: gram row {bi + 1}/{nb}")
+                C[ti:ti + wi, t_lo:] = host_strip[off:off + wi]
+                if store is not None and lead:
+                    store.save_row(bi, host_strip[off:off + wi, ti - t_lo:])
+                off += wi
+                if verbose:
+                    print(f"streaming POD: gram row {bi + 1}/{nb}")
     iu = np.triu_indices(ns, 1)
     C[(iu[1], iu[0])] = C[iu]                    # mirror upper -> lower
     return C / ns
@@ -242,22 +309,64 @@ def make_centered_generator(cfg, fields, filt, block, ns, rotate, m,
 
 def gram_pass_hbm_estimate(np3: int, block: int, group: int, itemsize: int,
                            nfx: int) -> int:
-    """Analytic peak device bytes of the Gram-pass column sweep: the
-    resident panel (``group`` row blocks) + the regenerated column block +
-    the generation transients (the filtered-slab tensor of ``block+2*nfx``
-    slabs and the temporal-FIR output, which coexist inside the generation
-    program).  Matches the measured behavior at the flagship size
-    (1024x512, block 512, f32): group=1 ~ 13 GiB fits in 16 GiB HBM,
-    group=2 ResourceExhausts (docs/performance.md)."""
+    """Analytic peak device bytes of the Gram-pass column sweep — four
+    coexisting full-block-scale tensors:
+
+    * the resident row panel: ``group`` blocks of ``np3 * block`` elements;
+    * the regenerated column block (one more);
+    * the generation transients inside the column block's generation
+      program: the filtered-slab tensor (``block + 2*nfx`` time slabs, the
+      temporal-FIR input) and the FIR output block, which coexist at the
+      temporal-contraction step.
+
+    Matches the measured behavior at the flagship size (1024x512, block
+    512, f32, nfx=8): group=1 -> 12.1 GiB fits on a 16 GiB chip, group=2 ->
+    15.1 GiB analytic ResourceExhausts (the runtime reserves a slice of
+    HBM, hence the 14.5 GiB warn threshold; docs/performance.md)."""
     blk = np3 * block * itemsize
-    transients = blk * (2 + 2 * nfx / max(block, 1))
-    return int(group * blk + transients)
+    slab = np3 * (block + 2 * nfx) * itemsize     # temporal-FIR input
+    transients = slab + blk                       # + FIR output block
+    return int((group + 1) * blk + transients)
 
 
 # Conservative single-chip HBM budget used only to WARN before a Gram pass
-# that is likely to ResourceExhaust (v5e = 16 GiB; no backend-portable
-# query exists — this backend's Device.memory_stats() returns None).
-HBM_WARN_BYTES = int(15.5 * 2 ** 30)
+# that is likely to ResourceExhaust (v5e = 16 GiB minus the runtime's
+# reserved slice; no backend-portable query exists — this backend's
+# Device.memory_stats() returns None).  Calibrated against the flagship
+# measurements: the 12.1 GiB group=1 configuration runs, the 15.1 GiB
+# group=2 one ResourceExhausts.
+HBM_WARN_BYTES = int(14.5 * 2 ** 30)
+
+
+def cache_host_ram_estimate(np3: int, ns: int, itemsize: int) -> int:
+    """Host bytes a ``--streaming_cache ram`` run will retain: every raw
+    generated block, i.e. the full ``(3*Np, Ns)`` snapshot matrix (~63 GB
+    at the flagship size)."""
+    return np3 * ns * itemsize
+
+
+def _warn_cache_host_ram(np3, ns, itemsize, phys_bytes=None):
+    """Pre-run warning mirroring :func:`_warn_gram_hbm`: ``mode='ram'``
+    silently accumulating more than half of physical host RAM should fail
+    loudly up front (suggesting ``--streaming_cache disk``), not as a host
+    OOM kill mid-pass."""
+    est = cache_host_ram_estimate(np3, ns, itemsize)
+    if phys_bytes is None:
+        try:
+            phys_bytes = (os.sysconf("SC_PAGE_SIZE")
+                          * os.sysconf("SC_PHYS_PAGES"))
+        except (ValueError, OSError, AttributeError):
+            return
+    if est > 0.5 * phys_bytes:
+        import warnings
+
+        warnings.warn(
+            f"--streaming_cache ram will retain every generated block: "
+            f"~{est / 2 ** 30:.1f} GiB of host memory (the full snapshot "
+            f"matrix) against {phys_bytes / 2 ** 30:.1f} GiB physical RAM "
+            f"— use --streaming_cache disk (bounded RAM, .npy memmaps) or "
+            f"drop the cache (pure regeneration).",
+            stacklevel=3)
 
 
 def _warn_gram_hbm(np3, block, group, itemsize, nfx):
@@ -346,6 +455,9 @@ def streaming_pod(
 
     cache_mode = getattr(cfg, "streaming_cache", "none")
     if cache_mode != "none":
+        if cache_mode == "ram":
+            _warn_cache_host_ram(3 * cfg.plane.jma * cfg.plane.kma, ns,
+                                 jnp.dtype(cfg.dtype).itemsize)
         gen = HostBlockCache(cache_mode).wrap(gen)
         cached_raw_gen = gen
     else:
@@ -364,7 +476,8 @@ def streaming_pod(
                 cs = _colsum(gen(t0))
                 s = cs if s is None else s + cs
             m = s / ns                           # (3*Np,) device
-            m.block_until_ready()
+            from pods_digital_filter_tpu.parallel.mesh import hard_sync
+            hard_sync(m)
             if store is not None and jax.process_index() == 0:
                 store.save_mean(np.asarray(m, dtype=np.float64))
             if verbose:
@@ -386,7 +499,8 @@ def streaming_pod(
     # ---- eigen half (shared with the in-memory path) -------------------
     with stage("streaming_eigh"):
         energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
-            C, ns, num_modes_trunc, tol_cn)
+            C, ns, num_modes_trunc, tol_cn,
+            num_vectors=pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc))
 
     # ---- pass 3: spatial modes -----------------------------------------
     with stage("streaming_projection"):
@@ -398,7 +512,8 @@ def streaming_pod(
             Ac = gen_c(t0)
             Mb = jnp.asarray(Mfull[t0:t0 + Ac.shape[1]], dtype=dtype)
             phi = _project_block(phi, Ac, Mb)
-        phi.block_until_ready()
+        from pods_digital_filter_tpu.parallel.mesh import hard_sync
+        hard_sync(phi)
         if verbose:
             print("streaming POD: projection pass done")
 

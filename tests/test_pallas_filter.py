@@ -4,6 +4,7 @@ Runs in Pallas interpret mode on CPU; statistical properties must match the
 XLA Threefry path (the streams differ by construction).
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -227,18 +228,29 @@ def test_tiled_kernel_statistics():
     assert abs(y.mean()) < 0.05
 
 
-def test_generation_stream_tag_dispatch():
+def test_generation_stream_tag_dispatch(monkeypatch):
     """Which stream a configuration generates with (checkpoint fingerprint
     input): full-slab kernel under the VMEM guard, tiled kernel beyond it,
-    XLA beyond both."""
+    XLA beyond both.  The suite runs on CPU, where the Pallas kernels run
+    under the Mosaic interpreter — a *different stream* from the on-core
+    TPU PRNG, so the tag carries the backend (a CPU-written checkpoint must
+    not resume on TPU as if it held the same noise)."""
+    assert jax.default_backend() != "tpu"        # conftest pins CPU
     assert pf.generation_stream_tag(False, 512, 512, 8, 8) == "xla-threefry-v1"
-    assert pf.generation_stream_tag(True, 512, 512, 8, 8) == "pallas-full-v1"
+    assert (pf.generation_stream_tag(True, 512, 512, 8, 8)
+            == "pallas-full-interpret-v1")
     assert pf.fused_spatial_available(512, 512, 8, 8)
     # flagship-adjacent shapes the round-2 guard silently lost:
-    assert pf.generation_stream_tag(True, 1024, 1024, 8, 8) == "pallas-tiled-v1"
-    assert pf.generation_stream_tag(True, 1024, 768, 8, 8) == "pallas-tiled-v1"
+    assert (pf.generation_stream_tag(True, 1024, 1024, 8, 8)
+            == "pallas-tiled-interpret-v1")
+    assert (pf.generation_stream_tag(True, 1024, 768, 8, 8)
+            == "pallas-tiled-interpret-v1")
     # z axis untiled: a ~2k kma exceeds even the tiled working set
     assert pf.generation_stream_tag(True, 16, 2048, 8, 8) == "xla-threefry-v1"
+    # on a real TPU the same configs tag the on-core Mosaic PRNG streams
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pf.generation_stream_tag(True, 512, 512, 8, 8) == "pallas-full-v1"
+    assert pf.generation_stream_tag(True, 1024, 1024, 8, 8) == "pallas-tiled-v1"
 
 
 def test_fallback_beyond_tiled_guard_warns():

@@ -87,3 +87,53 @@ def test_gram_cell_weights(rng):
     wfull = np.tile(w, 6)
     want = (A * wfull[:, None]).T @ A / 5
     np.testing.assert_allclose(C, want, rtol=1e-10)
+
+
+def test_two_phase_eig_parity(rng):
+    """eig_mode topk (eigvalsh spectrum + Lanczos/subset top-k vectors)
+    must reproduce the full-eigh path: identical spectrum, identical
+    valid-mode count, identical scaled temporal modes up to eigenvector
+    sign (PODFS replay is sign-invariant)."""
+    n, k = 300, 7
+    B = rng.standard_normal((n, 40))
+    C = (B @ B.T) / 40 + 1e-8 * np.eye(n)
+    e_f, t_f, nv_f, nt_f = pod.temporal_from_gram(C, n, k, 1e-15)
+    e_t, t_t, nv_t, nt_t = pod.temporal_from_gram(C, n, k, 1e-15,
+                                                  num_vectors=k)
+    assert t_f.shape == (n, n) and t_t.shape == (n, k)
+    assert (nv_f, nt_f) == (nv_t, nt_t)
+    np.testing.assert_allclose(e_t, e_f, rtol=1e-12, atol=1e-14)
+    # per-column sign alignment, then exact agreement
+    sign = np.sign(np.einsum("ij,ij->j", t_f[:, :k], t_t))
+    np.testing.assert_allclose(t_t * sign[None, :], t_f[:, :k],
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_two_phase_lanczos_branch(rng):
+    """Force the Lanczos branch (n >= 2048) and check the top eigenpairs
+    against LAPACK on a decaying-spectrum Gram."""
+    n, k = 2200, 5
+    B = rng.standard_normal((n, 32)) * np.exp(-0.2 * np.arange(32))
+    C = (B @ B.T) / 32 + 1e-10 * np.eye(n)
+    e_full, v_full = pod.eigh_desc(C)
+    e_k, v_k = pod.eigh_desc_topk(C, k)
+    np.testing.assert_allclose(e_k, e_full[:k], rtol=1e-10)
+    overlap = np.abs(np.einsum("ij,ij->j", v_full[:, :k], v_k))
+    np.testing.assert_allclose(overlap, 1.0, atol=1e-8)
+
+
+def test_resolve_num_vectors():
+    import dataclasses
+
+    from pods_digital_filter_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert pod.resolve_num_vectors(cfg, 10240, 20) == 20          # auto+large
+    assert pod.resolve_num_vectors(cfg, 100, 20) is None          # auto+small
+    assert pod.resolve_num_vectors(
+        dataclasses.replace(cfg, verbose=True), 10240, 20) is None
+    assert pod.resolve_num_vectors(
+        dataclasses.replace(cfg, eig_mode="full"), 10240, 20) is None
+    assert pod.resolve_num_vectors(
+        dataclasses.replace(cfg, eig_mode="topk"), 100, 20) == 20
+    assert pod.resolve_num_vectors(cfg, 10240, -1) is None        # all modes

@@ -200,7 +200,8 @@ def test_cache_rejected_with_sharding(tmp_path):
 def test_gram_hbm_estimate_and_warning(tmp_path):
     """The analytic Gram-pass HBM estimator reproduces the measured
     flagship behavior (1024x512 plane, block 512, f32, nfx=8): group=1
-    fits under the 15.5 GiB warn threshold, group=2 exceeds it — and
+    (12.1 GiB: panel + column block + generation transients) fits under
+    the 14.5 GiB warn threshold, group=2 (15.1 GiB) exceeds it — and
     streaming_pod emits the pre-run UserWarning for the latter."""
     np3 = 3 * 1024 * 512
     fits = streaming.gram_pass_hbm_estimate(np3, 512, 1, 4, 8)
@@ -214,3 +215,49 @@ def test_gram_hbm_estimate_and_warning(tmp_path):
         streaming._warn_gram_hbm(np3, 512, 1, 4, 8)
     with pytest.warns(UserWarning, match="gram_group 2"):
         streaming._warn_gram_hbm(np3, 512, 2, 4, 8)
+
+
+def test_streaming_eig_mode_topk_model_parity(tmp_path):
+    """--eig_mode topk produces the same exported PODFS model as full
+    (identical spectrum/valid count; replayed fields sign-invariantly
+    equal)."""
+    cfg_f = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "full"),
+                 streaming_block=4, eig_mode="full")
+    cfg_t = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "topk"),
+                 streaming_block=4, eig_mode="topk")
+    rf = run_pipeline(cfg_f)
+    rt = run_pipeline(cfg_t)
+    assert rf.pod.temporal_modes.shape[1] == 12
+    assert rt.pod.temporal_modes.shape[1] == rt.pod.num_trunc
+    np.testing.assert_allclose(rt.pod.energy, rf.pod.energy,
+                               rtol=1e-10, atol=1e-14)
+    assert rt.pod.num_valid == rf.pod.num_valid
+
+    from pods_digital_filter_tpu import replay
+    mf = replay.load_prf(cfg_f.outdir)
+    mt = replay.load_prf(cfg_t.outdir)
+    ts = np.linspace(0.0, mf.period, 5)
+    np.testing.assert_allclose(replay.Replayer(mt).batch(ts),
+                               replay.Replayer(mf).batch(ts), atol=1e-8)
+
+
+def test_eig_mode_validation(tmp_path):
+    with pytest.raises(ValueError, match="eig_mode"):
+        _cfg(tmp_path, eig_mode="bogus").validate()
+    with pytest.raises(ValueError, match="topk"):
+        _cfg(tmp_path, eig_mode="topk", verbose=True).validate()
+
+
+def test_cache_host_ram_warning():
+    """--streaming_cache ram retaining more than half the physical host RAM
+    warns up front (ADVICE r3) instead of host-OOMing mid-pass."""
+    import warnings
+
+    np3, ns = 3 * 1024 * 512, 10240                  # ~63 GiB retained
+    with pytest.warns(UserWarning, match="streaming_cache ram"):
+        streaming._warn_cache_host_ram(np3, ns, 4,
+                                       phys_bytes=64 * 2 ** 30)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")               # small run: no warning
+        streaming._warn_cache_host_ram(3 * 16 * 24, 16, 8,
+                                       phys_bytes=64 * 2 ** 30)
