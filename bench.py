@@ -181,6 +181,13 @@ def main():
 
     best = max(rates, key=lambda k: rates[k][0])
     rate, dt = rates[best]
+    # path selection is max-of-measured; when the runner-up is within
+    # run-to-run noise (~5%), which path "wins" can flip between rounds
+    # (round-3 verdict weak #6) — record that explicitly
+    ranked = sorted((r for r, _ in rates.values()), reverse=True)
+    selection_note = (
+        "top two paths within 5% — selection jitters between rounds"
+        if len(ranked) > 1 and ranked[1] > 0.95 * ranked[0] else "clear win")
     result = {
         "metric": "filtered inlet samples/s/chip",
         "value": round(rate, 1),
@@ -190,6 +197,7 @@ def main():
             "config": f"{JMA}x{KMA} plane, {NSTEPS} steps, nf={NF}, ln={LN}, "
                       f"f32, RNG+filter+Lund, {REPS} reps in-jit",
             "path": best,
+            "path_selection": selection_note,
             "step_wall_s": round(dt, 5),
             "xla_rate": round(rates["xla"][0], 1),
             "pallas_rate": round(rates["pallas"][0], 1),

@@ -42,7 +42,8 @@ def device_peak_bytes():
         return 0
 
 
-def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool):
+def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool,
+             block: int = 128):
     from pods_digital_filter_tpu import replay
     from pods_digital_filter_tpu.pipeline import run_pipeline
 
@@ -52,7 +53,7 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool):
                           length_scale_z=4.0, fwidth=2.0),
         podfs=PODFSConfig(num_modes=20, energy_target=0.9),
         nsteps=nsteps, outdir=outdir, dtype="float32",
-        streaming_block=512, gram_group=gram_group, use_pallas=use_pallas,
+        streaming_block=block, gram_group=gram_group, use_pallas=use_pallas,
     )
     t0 = time.perf_counter()
     res = run_pipeline(cfg, write_outputs=True)
@@ -74,7 +75,7 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool):
     stages = {k: round(v, 3) for k, v in res.timer.times.items()}
     return {
         "metric": "flagship BASELINE#5 wall-time (1024x512 x "
-                  f"{nsteps} steps, streaming block 512, "
+                  f"{nsteps} steps, streaming block {cfg.streaming_block}, "
                   f"group {gram_group})",
         "value": round(total, 2),
         "unit": "s",
@@ -165,10 +166,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crossover", action="store_true")
     ap.add_argument("--nsteps", type=int, default=10240)
-    # group=1 is the flagship default: at block 512 a second resident row
-    # block (+3.2 GiB) pushes the Gram-pass peak past 16 GiB HBM (measured
-    # ResourceExhausted; see docs/performance.md flagship section)
-    ap.add_argument("--gram_group", type=int, default=1)
+    # round-4 flagship defaults: block 128 x group 14 — regenerated
+    # samples scale as Ns^2/(group*block), and 14 x 0.75 GiB resident row
+    # blocks + one column's generation transients = 12.8 GiB analytic
+    # (gram_pass_hbm_estimate), inside the 14.5 GiB budget; at block 512
+    # the same budget admits only group=1 (3.5x more regeneration)
+    ap.add_argument("--gram_group", type=int, default=14)
+    ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--no_pallas", action="store_true")
     ap.add_argument("--outdir", default="/tmp/flagship_run/PODFS")
     args = ap.parse_args()
@@ -177,7 +181,7 @@ def main():
         return 0
     os.makedirs(args.outdir, exist_ok=True)
     print(json.dumps(flagship(args.outdir, args.nsteps, args.gram_group,
-                              not args.no_pallas)))
+                              not args.no_pallas, block=args.block)))
     return 0
 
 

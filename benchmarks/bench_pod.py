@@ -91,14 +91,23 @@ def bench_tpu(A_host: np.ndarray):
         jax.block_until_ready(C)
         stages["gram"] = time.perf_counter() - t0
 
+        # defer_spatial: the ~20 MB truncated-mode download (the model
+        # payload — the ONE host copy this stage fundamentally needs
+        # besides the Ns x Ns Gram for the host eigh) overlaps the
+        # host-side Fourier stage instead of blocking (round-3 weak #4)
         t0 = time.perf_counter()
-        res = pod.snapshot_pod(Ac, NM, tol_cn=TOL_CN, gram=C)
-        stages["eig_project_export"] = time.perf_counter() - t0
+        res = pod.snapshot_pod(Ac, NM, tol_cn=TOL_CN, gram=C,
+                               defer_spatial=True)
+        stages["eig_project"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         fc = fourier.fourier_compress(res.temporal_modes, res.num_trunc,
                                       dt_target, ET)
         stages["fourier"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pod.resolve_spatial(res)
+        stages["spatial_download_residual"] = time.perf_counter() - t0
         return res, fc, stages
 
     run()  # compile + warmup
@@ -110,19 +119,23 @@ def bench_tpu(A_host: np.ndarray):
         if best is None or total < best[0]:
             best, out = (total, stages), (res, fc)
 
-    # measure the two tunnel copies (Gram + spatial modes) in isolation
+    # the two tunnel copies the stage fundamentally needs (Gram down for
+    # the host eigh + the truncated-mode model payload), measured in
+    # isolation — their UN-overlapped cost.  host_copies_overlapped is
+    # what actually remains on the wall after the fourier overlap.
     res, _ = out
     phi_dev = jax.device_put(jnp.asarray(res.spatial_modes, jnp.float32))
     C_dev = jax.device_put(jnp.zeros((NS, NS), jnp.float32))
     jax.block_until_ready((phi_dev, C_dev))
     t0 = time.perf_counter()
-    np.asarray(phi_dev)
-    np.asarray(C_dev)
+    np.asarray(phi_dev + 0)           # fresh value: defeat the host cache
+    np.asarray(C_dev + 0)
     copy_s = time.perf_counter() - t0
 
     total, stages = best
-    stages["host_copies"] = copy_s
-    stages["compute_s"] = max(total - copy_s, 0.0)
+    stages["host_copies_isolated"] = copy_s
+    stages["host_copies"] = stages["spatial_download_residual"]
+    stages["compute_s"] = max(total - stages["host_copies"], 0.0)
     return total, out, stages
 
 

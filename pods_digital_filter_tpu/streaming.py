@@ -239,30 +239,50 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
             w = sum(widths)
             # build the wide resident panel: generate each row block and
             # insert it at its strip offset (donated buffer — no second
-            # panel-sized temporary)
+            # panel-sized temporary).  A single-block panel IS its block —
+            # no zeros+copy (at group=1 flagship size that extra
+            # block-sized buffer alongside the generation transients
+            # ResourceExhausts; measured)
             first = gen(t_lo)
-            shape = list(first.shape)
-            shape[1] = w
-            panel = zeros(tuple(shape), first.dtype)
-            panel = _insert_time(panel, first, 0)
-            off = widths[0]
-            for bi, wi in zip(run[1:], widths[1:]):
-                panel = _insert_time(panel, gen(starts[bi]), off)
-                off += wi
+            if len(run) == 1:
+                panel = first
+            else:
+                shape = list(first.shape)
+                shape[1] = w
+                panel = zeros(tuple(shape), first.dtype)
+                panel = _insert_time(panel, first, 0)
+                off = widths[0]
+                for bi, wi in zip(run[1:], widths[1:]):
+                    panel = _insert_time(panel, gen(starts[bi]), off)
+                    off += wi
             # device-resident Gram strip for this panel, upper-triangular
-            # columns only [t_lo, ns); the column sweep is pure async
-            # dispatch — no host sync until the single strip download
+            # columns only [t_lo, ns); the column sweep is a pure async
+            # dispatch chain — the only hard syncs are a periodic
+            # 1-element drain (a cheap bound on dispatch run-ahead) and
+            # the single strip download at the end
+            from pods_digital_filter_tpu.parallel.mesh import hard_sync
+
             strip = zeros((w, ns - t_lo), first.dtype)
             for ji in range(run[0], nb):
                 tj = starts[ji]
                 nj = min(block, ns - tj)
                 if run[0] <= ji <= run[-1]:
-                    # the column block is a panel slice — no regeneration
+                    # the column block is a panel slice (no regeneration);
+                    # a single-block panel IS its own diagonal column — do
+                    # not slice-copy it (a full-panel copy alongside the
+                    # panel and the generation transients ResourceExhausts
+                    # at the flagship block size; measured)
                     o = sum(widths[:ji - run[0]])
-                    Aj = _slice_time(panel, jnp.asarray(o, jnp.int32), nj)
+                    if o == 0 and nj == w:
+                        Aj = panel
+                    else:
+                        Aj = _slice_time(panel, jnp.asarray(o, jnp.int32),
+                                         nj)
                 else:
                     Aj = gen(tj)
                 strip = _insert_time(strip, pair_fn(panel, Aj), tj - t_lo)
+                if (ji - run[0]) % 8 == 7:
+                    hard_sync(strip)
             host_strip = to_host(strip)                # ONE download
             off = 0
             for bi, wi in zip(run, widths):

@@ -23,16 +23,20 @@ def test_plane_geometry_default_normal():
     assert cc.shape == (110, 3)
     # plane lies in x=0 for default normal (1,0,0)
     np.testing.assert_allclose(cc[:, 0], 0.0, atol=1e-12)
-    # VTK scaling: extent s2 = res*jma^2/(jma-1), cell spacing s2/jma
+    # VTK scaling: extent s2 = res*jma^2/(jma-1), cell spacing s2/jma.
+    # Tolerances are FLOAT32 eps: the geometry reproduces the reference's
+    # VTK float32 point-rounding chain bit-for-bit (io/plane.py,
+    # tests/test_golden.py::test_mean_and_mode_prf_full_file_bytes_match),
+    # so coordinates carry f32 quantization by design.
     s2 = 0.1 * 10 * 10 / 9
     s3 = 0.1 * 11 * 11 / 10
     # ordering p = j*kma + k: k varies fastest along z, j along y
-    np.testing.assert_allclose(cc[1, 1] - cc[0, 1], 0.0, atol=1e-12)
-    np.testing.assert_allclose(cc[0, 2] - cc[1, 2], s3 / 11, atol=1e-12)
-    np.testing.assert_allclose(cc[11, 1] - cc[0, 1], s2 / 10, atol=1e-12)
+    np.testing.assert_allclose(cc[1, 1] - cc[0, 1], 0.0, atol=1e-7)
+    np.testing.assert_allclose(cc[0, 2] - cc[1, 2], s3 / 11, atol=1e-7)
+    np.testing.assert_allclose(cc[11, 1] - cc[0, 1], s2 / 10, atol=1e-7)
     # symmetric about the origin
-    np.testing.assert_allclose(cc[:, 1].max(), -cc[:, 1].min(), atol=1e-12)
-    np.testing.assert_allclose(cc[:, 2].max(), -cc[:, 2].min(), atol=1e-12)
+    np.testing.assert_allclose(cc[:, 1].max(), -cc[:, 1].min(), atol=1e-7)
+    np.testing.assert_allclose(cc[:, 2].max(), -cc[:, 2].min(), atol=1e-7)
 
 
 def test_plane_geometry_rotated_normal():
@@ -42,12 +46,14 @@ def test_plane_geometry_rotated_normal():
     cc = geom.cell_centers - np.asarray([1.0, 2.0, 3.0])
     nn = np.asarray(cfg.normal)
     # all cell centres lie in the plane through the origin with normal n
-    np.testing.assert_allclose(cc @ nn, 0.0, atol=1e-10)
+    # (f32 atol: coordinates carry the reference's VTK float32 rounding
+    # chain by design — io/plane.py)
+    np.testing.assert_allclose(cc @ nn, 0.0, atol=1e-6)
     # areas preserved under rotation
     areas = geom.cell_areas()
     s2 = 0.2 * 36 / 5
     s3 = 0.2 * 49 / 6
-    np.testing.assert_allclose(areas, (s2 / 6) * (s3 / 7), rtol=1e-8)
+    np.testing.assert_allclose(areas, (s2 / 6) * (s3 / 7), rtol=1e-6)
 
 
 def test_snapshot_prf_roundtrip(tmp_path):
