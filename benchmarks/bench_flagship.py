@@ -55,6 +55,21 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool,
         nsteps=nsteps, outdir=outdir, dtype="float32",
         streaming_block=block, gram_group=gram_group, use_pallas=use_pallas,
     )
+    # One throwaway generator execution before the clock starts: this
+    # tunnel session charges a large one-time cost (~200 s measured
+    # 2026-08-20, absent in the round-3 session) to the FIRST device
+    # execution in a process — device/service warm-up, not pipeline work
+    # (benchmarks/probe_mean_pass.py: first block 220 s, every later
+    # block 0.07 s).  Reported separately so the stage table measures the
+    # pipeline.
+    from pods_digital_filter_tpu.pipeline import make_generator, resolve_profile
+    fields_w, _dt_w, filt_w, cfg_w, rotate_w = resolve_profile(cfg)
+    t0 = time.perf_counter()
+    gen_w = make_generator(cfg_w, fields_w, filt_w,
+                           nsteps=cfg.streaming_block, rotate=rotate_w)
+    np.asarray(gen_w(0)[0, :1])
+    warmup_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     res = run_pipeline(cfg, write_outputs=True)
     total = time.perf_counter() - t0
@@ -81,6 +96,7 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool,
         "unit": "s",
         "detail": {
             "stages_s": stages,
+            "device_warmup_s": round(warmup_s, 2),
             "nsteps": nsteps,
             "num_valid_modes": int(res.pod.num_valid),
             "num_trunc": int(res.pod.num_trunc),
@@ -166,12 +182,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crossover", action="store_true")
     ap.add_argument("--nsteps", type=int, default=10240)
-    # round-4 flagship defaults: block 128 x group 14 — regenerated
-    # samples scale as Ns^2/(group*block), and 14 x 0.75 GiB resident row
-    # blocks + one column's generation transients = 12.8 GiB analytic
-    # (gram_pass_hbm_estimate), inside the 14.5 GiB budget; at block 512
-    # the same budget admits only group=1 (3.5x more regeneration)
-    ap.add_argument("--gram_group", type=int, default=14)
+    # round-4 flagship defaults: block 128 x group 12 — regenerated
+    # samples scale as Ns^2/(group*block), and 12 x 0.75 GiB resident row
+    # blocks + one column's generation transients = 11.3 GiB analytic
+    # (gram_pass_hbm_estimate), inside the 14.5 GiB budget with ~3 GiB of
+    # allocator-fragmentation headroom (group 14 = 12.8 GiB analytic
+    # ResourceExhausted intermittently at the 10,240-step size); at
+    # block 512 the same budget admits only group=1 (3x more
+    # regeneration)
+    ap.add_argument("--gram_group", type=int, default=12)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--no_pallas", action="store_true")
     ap.add_argument("--outdir", default="/tmp/flagship_run/PODFS")

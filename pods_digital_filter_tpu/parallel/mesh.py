@@ -69,7 +69,11 @@ def hard_sync(x):
     jax.block_until_ready(x)
     if isinstance(x, jax.Array) and x.size and getattr(
             x, "is_fully_addressable", True):
-        np.asarray(jax.numpy.ravel(x)[:1])
+        # a SCALAR index, not ravel()[:1]: ravel lowers to a reshape
+        # program whose output buffer is a full copy of x — syncing a
+        # panel-sized array that way ResourceExhausts at the HBM ceiling
+        # (measured at the flagship Gram panel)
+        np.asarray(x[(0,) * x.ndim])
     return x
 
 

@@ -95,6 +95,14 @@ def _colsum_fields(X):
 
 
 @jax.jit
+def _colsum_fields_acc(s, X):
+    """``s += X.sum(axis=1)`` in ONE jitted dispatch (see
+    streaming._colsum_acc — eager per-block adds pay a remote round-trip
+    each on the tunnel backend)."""
+    return s + jnp.sum(X, axis=1)
+
+
+@jax.jit
 def _pair_products_fields(Xi, Xj):
     """Gram tile of two ALREADY-CENTERED field blocks: the contraction over
     (c, j, k) lowers to per-'s'-shard partials + an all-reduce over the
@@ -180,8 +188,8 @@ def streaming_pod_sharded(
         else:
             s = None
             for t0 in starts:
-                cs = _colsum_fields(gen(t0))
-                s = cs if s is None else s + cs
+                s = _colsum_fields(gen(t0)) if s is None \
+                    else _colsum_fields_acc(s, gen(t0))
             mean_fields = s / ns                 # (3, jma, kma) sharded 's'
             hard_sync(mean_fields)
             if store is not None:

@@ -71,6 +71,25 @@ def _colsum(A):
 
 
 @jax.jit
+def _colsum_acc(s, A):
+    """``s += A.sum(axis=1)`` as ONE jitted dispatch — the mean pass's
+    per-block accumulation.  An eager ``s + cs`` costs a full remote
+    round-trip per block on the tunnel backend (measured: the flagship
+    mean pass dropped from minutes to seconds when jitted)."""
+    return s + jnp.sum(A, axis=1)
+
+
+@jax.jit
+def _project_block_at(phi, Ac, Mfull, t0):
+    """``phi += Ac @ Mfull[t0:t0+T]`` with the mode-coefficient matrix
+    resident on device and sliced INSIDE the jit — one dispatch per block
+    instead of a per-block host->device upload of the slice."""
+    Mb = jax.lax.dynamic_slice_in_dim(Mfull, t0, Ac.shape[1], axis=0)
+    return phi + jnp.dot(Ac, Mb.astype(Ac.dtype),
+                         preferred_element_type=phi.dtype)
+
+
+@jax.jit
 def _pair_products(Ai, Aj):
     """Gram tile of two ALREADY-CENTERED blocks (the generator subtracts
     the mean inside the generation program — make_generator(center=m) —
@@ -142,25 +161,15 @@ class HostBlockCache:
         return cached
 
 
-def _insert_time_impl(buf, blk, pos):
-    """``buf[:, pos:pos+T, ...] = blk`` along the time axis (axis 1 in both
-    the packed ``(3*Np, T)`` and the field ``(C, T, jma, kma)`` layouts).
-    The buffer is donated — on TPU the update aliases in place."""
-    idx = (jnp.int32(0), jnp.asarray(pos, jnp.int32)) + \
-        (jnp.int32(0),) * (buf.ndim - 2)
-    return jax.lax.dynamic_update_slice(buf, blk, idx)
+def _insert_tile_impl(buf, tile, row, col):
+    """``buf[row:row+r, col:col+c] = tile`` — the Gram-strip update.  The
+    buffer is donated, so on TPU the update aliases in place (no
+    strip-sized copy per column)."""
+    return jax.lax.dynamic_update_slice(
+        buf, tile, (jnp.asarray(row, jnp.int32), jnp.asarray(col, jnp.int32)))
 
 
-_insert_time = jax.jit(_insert_time_impl, donate_argnums=0)
-
-
-def _slice_time_impl(buf, pos, n):
-    return jax.lax.dynamic_slice_in_dim(buf, pos, n, axis=1)
-
-
-# static slice width (2 variants at most: full block + ragged tail); the
-# start offset stays dynamic so every panel shares one executable
-_slice_time = jax.jit(_slice_time_impl, static_argnums=2)
+_insert_tile = jax.jit(_insert_tile_impl, donate_argnums=0)
 
 
 def _contiguous_runs(indices):
@@ -199,14 +208,18 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
     remote-tunnel chip).
 
     Device-resident accumulation (round-4 restructure): every column's
-    Gram tile is written into a device ``(panel_width, ns)`` strip buffer
-    (donated ``dynamic_update_slice`` — in place on TPU), so the column
-    sweep is a pure async dispatch chain (generate -> one wide GEMM ->
-    strip update) with NO host synchronization; the strip crosses the host
-    boundary ONCE when the sweep finishes.  The round-3 formulation
-    downloaded every (block, block) tile synchronously — on a
+    Gram tiles are written into a device ``(panel_width, ns - t_lo)``
+    strip buffer (donated ``dynamic_update_slice`` — in place on TPU), so
+    the column sweep is an async dispatch chain (generate -> per-row GEMM
+    -> strip update) with only a periodic 1-element drain; the strip
+    crosses the host boundary ONCE when the sweep finishes.  The round-3
+    formulation downloaded every (block, block) tile synchronously — on a
     remote-tunnel chip that sync dominated the whole pass
-    (benchmarks/probe_gram_loop.py).
+    (benchmarks/probe_gram_loop.py).  The resident panel stays a LIST of
+    row blocks, never one concatenated buffer: at the flagship budget the
+    panel is ~9-12 GiB, and a single contiguous allocation of that size
+    on a fragmented 16 GiB heap ResourceExhausts where the same bytes in
+    block-sized chunks fit (measured).
     """
     from pods_digital_filter_tpu.parallel.mesh import to_host
 
@@ -236,54 +249,34 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
         for run in _contiguous_runs(pending):
             t_lo = starts[run[0]]                      # first strip step
             widths = [min(block, ns - starts[bi]) for bi in run]
+            offs = [sum(widths[:i]) for i in range(len(run))]
             w = sum(widths)
-            # build the wide resident panel: generate each row block and
-            # insert it at its strip offset (donated buffer — no second
-            # panel-sized temporary).  A single-block panel IS its block —
-            # no zeros+copy (at group=1 flagship size that extra
-            # block-sized buffer alongside the generation transients
-            # ResourceExhausts; measured)
-            first = gen(t_lo)
-            if len(run) == 1:
-                panel = first
-            else:
-                shape = list(first.shape)
-                shape[1] = w
-                panel = zeros(tuple(shape), first.dtype)
-                panel = _insert_time(panel, first, 0)
-                off = widths[0]
-                for bi, wi in zip(run[1:], widths[1:]):
-                    panel = _insert_time(panel, gen(starts[bi]), off)
-                    off += wi
+            # resident panel: a dict of row BLOCKS (no concatenation — see
+            # docstring), drained as they generate so the build never
+            # holds more than one column's generation transients
+            from pods_digital_filter_tpu.parallel.mesh import hard_sync
+
+            panel = {}
+            for bi in run:
+                panel[bi] = gen(starts[bi])
+                hard_sync(panel[bi])
             # device-resident Gram strip for this panel, upper-triangular
-            # columns only [t_lo, ns); the column sweep is a pure async
+            # columns only [t_lo, ns); the column sweep is an async
             # dispatch chain — the only hard syncs are a periodic
             # 1-element drain (a cheap bound on dispatch run-ahead) and
             # the single strip download at the end
-            from pods_digital_filter_tpu.parallel.mesh import hard_sync
-
-            strip = zeros((w, ns - t_lo), first.dtype)
+            strip = zeros((w, ns - t_lo), panel[run[0]].dtype)
             for ji in range(run[0], nb):
                 tj = starts[ji]
-                nj = min(block, ns - tj)
-                if run[0] <= ji <= run[-1]:
-                    # the column block is a panel slice (no regeneration);
-                    # a single-block panel IS its own diagonal column — do
-                    # not slice-copy it (a full-panel copy alongside the
-                    # panel and the generation transients ResourceExhausts
-                    # at the flagship block size; measured)
-                    o = sum(widths[:ji - run[0]])
-                    if o == 0 and nj == w:
-                        Aj = panel
-                    else:
-                        Aj = _slice_time(panel, jnp.asarray(o, jnp.int32),
-                                         nj)
-                else:
-                    Aj = gen(tj)
-                strip = _insert_time(strip, pair_fn(panel, Aj), tj - t_lo)
+                # panel columns reuse the resident blocks — no regeneration
+                Aj = panel[ji] if ji in panel else gen(tj)
+                for bi, off in zip(run, offs):
+                    strip = _insert_tile(strip, pair_fn(panel[bi], Aj),
+                                         off, tj - t_lo)
                 if (ji - run[0]) % 8 == 7:
                     hard_sync(strip)
             host_strip = to_host(strip)                # ONE download
+            panel.clear()
             off = 0
             for bi, wi in zip(run, widths):
                 ti = starts[bi]
@@ -493,8 +486,8 @@ def streaming_pod(
         else:
             s = None
             for t0 in starts:
-                cs = _colsum(gen(t0))
-                s = cs if s is None else s + cs
+                s = _colsum(gen(t0)) if s is None \
+                    else _colsum_acc(s, gen(t0))
             m = s / ns                           # (3*Np,) device
             from pods_digital_filter_tpu.parallel.mesh import hard_sync
             hard_sync(m)
@@ -516,26 +509,73 @@ def streaming_pod(
                           store=store, verbose=verbose,
                           group=getattr(cfg, "gram_group", 1))
 
-    # ---- eigen half (shared with the in-memory path) -------------------
-    with stage("streaming_eigh"):
-        energy, temporal, num_valid, num_trunc = pod_ops.temporal_from_gram(
-            C, ns, num_modes_trunc, tol_cn,
-            num_vectors=pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc))
+    # ---- eigen half + pass 3 (spatial modes) ----------------------------
+    from pods_digital_filter_tpu.parallel.mesh import hard_sync
 
-    # ---- pass 3: spatial modes -----------------------------------------
-    with stage("streaming_projection"):
+    def project(temporal_k, energy_k, k):
+        """Device projection pass over the centered blocks
+        (PODFS.py:1329-1333), using the top-``k`` scaled temporal modes —
+        uploaded ONCE and sliced on device per block."""
         dtype = m.dtype
-        Mfull = (temporal[:, :num_trunc]
-                 * (1.0 / energy[:num_trunc])[None, :]) / ns
-        phi = jnp.zeros((m.shape[0], num_trunc), dtype=dtype)
+        Mfull = jnp.asarray((temporal_k[:, :k]
+                             * (1.0 / energy_k[:k])[None, :]) / ns,
+                            dtype=dtype)
+        phi = jnp.zeros((m.shape[0], k), dtype=dtype)
         for t0 in starts:
             Ac = gen_c(t0)
-            Mb = jnp.asarray(Mfull[t0:t0 + Ac.shape[1]], dtype=dtype)
-            phi = _project_block(phi, Ac, Mb)
-        from pods_digital_filter_tpu.parallel.mesh import hard_sync
+            phi = _project_block_at(phi, Ac, Mfull,
+                                    jnp.asarray(t0, jnp.int32))
         hard_sync(phi)
         if verbose:
             print("streaming POD: projection pass done")
+        return phi
+
+    nvec = pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc)
+    if nvec is not None:
+        # Two-phase eigendecomposition, OVERLAPPED: Lanczos gets the top-k
+        # vectors in seconds; the device projection pass (and the spatial-
+        # mode download) then runs WHILE the host computes the full
+        # eigvalsh spectrum (the flagship's single longest host stage, ~60 s
+        # at Ns = 10,240 on a 2-core host) in a worker thread — LAPACK
+        # releases the GIL.  The spectrum is only needed for the valid-mode
+        # count and the eigenvalue file, never by the projection.
+        from concurrent.futures import ThreadPoolExecutor
+
+        k = max(1, min(max(nvec, num_modes_trunc), ns))
+        with stage("streaming_eigh_vectors"):
+            e_k, v_k = pod_ops.eigh_desc_topk(C, k)
+        with ThreadPoolExecutor(1) as pool:
+            spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
+            with stage("streaming_projection"):
+                # reference temporal-mode scaling (PODFS.py:1322-1325) on
+                # the k Lanczos columns (eigenvalues agree with the
+                # spectrum to machine precision — tests/test_pod.py)
+                temporal = v_k.copy()
+                mag = np.einsum("ij,ij->j", temporal, temporal) / ns
+                scale = np.where(mag > 0, np.sqrt(
+                    np.maximum(e_k, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
+                temporal *= scale[None, :]
+                phi = project(temporal, e_k, k)
+                try:
+                    phi.copy_to_host_async()   # overlaps the spectrum too
+                except Exception:
+                    pass
+            with stage("streaming_eigh_spectrum"):
+                energy = spec_fut.result()
+        nan_mask = ~np.isfinite(energy)
+        energy = np.sort(np.where(nan_mask, -1.0e10, energy))[::-1]
+        num_valid = pod_ops.count_valid_modes(energy, tol_cn)
+        num_trunc = num_modes_trunc
+        if num_trunc < 0 or num_trunc > num_valid:
+            num_trunc = num_valid
+        if num_trunc < k:              # pathological: fewer valid than k
+            phi = phi[:, :num_trunc]
+    else:
+        with stage("streaming_eigh"):
+            energy, temporal, num_valid, num_trunc = \
+                pod_ops.temporal_from_gram(C, ns, num_modes_trunc, tol_cn)
+        with stage("streaming_projection"):
+            phi = project(temporal, energy, num_trunc)
 
     pr = pod_ops.PODResult(
         energy=energy,
