@@ -123,6 +123,17 @@ def _project_block_fields(phi, Xc, M):
                             preferred_element_type=phi.dtype)
 
 
+@jax.jit
+def _project_block_fields_at(phi, Xc, Mfull, t0):
+    """``phi += einsum(Xc, Mfull[t0:t0+T])`` with the mode-coefficient
+    matrix uploaded ONCE (replicated) and sliced inside the jit — one
+    dispatch per block instead of a per-block host->device upload (see
+    streaming._project_block_at)."""
+    Mb = jax.lax.dynamic_slice_in_dim(Mfull, t0, Xc.shape[1], axis=0)
+    return phi + jnp.einsum("ctjk,tm->cmjk", Xc, Mb.astype(Xc.dtype),
+                            preferred_element_type=phi.dtype)
+
+
 def streaming_pod_sharded(
     cfg,
     fields,
@@ -248,11 +259,11 @@ def streaming_pod_sharded(
         phi = put_global(
             np.zeros((3, num_trunc, cfg.plane.jma, cfg.plane.kma),
                      dtype=np.dtype(dtype)), sh_phi)
+        Mdev = put_global(Mfull.astype(np.dtype(dtype)), sh_repl)
         for t0 in starts:
             Xc = gen_c(t0)
-            Mb = put_global(Mfull[t0:t0 + Xc.shape[1]]
-                            .astype(np.dtype(dtype)), sh_repl)
-            phi = _project_block_fields(phi, Xc, Mb)
+            phi = _project_block_fields_at(phi, Xc, Mdev,
+                                           jnp.asarray(t0, jnp.int32))
         hard_sync(phi)
         if verbose:
             print("sharded streaming POD: projection pass done")
