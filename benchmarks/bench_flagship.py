@@ -185,11 +185,10 @@ def main():
     # round-4 flagship defaults: block 128 x group 12 — regenerated
     # samples scale as Ns^2/(group*block), and 12 x 0.75 GiB resident row
     # blocks + one column's generation transients = 11.3 GiB analytic
-    # (gram_pass_hbm_estimate), inside the 14.5 GiB budget with ~3 GiB of
-    # allocator-fragmentation headroom (group 14 = 12.8 GiB analytic
-    # ResourceExhausted intermittently at the 10,240-step size); at
-    # block 512 the same budget admits only group=1 (3x more
-    # regeneration)
+    # (gram_pass_hbm_estimate), leaving ~3 GiB of fragmentation headroom
+    # on the 16 GiB part (group 14 = 12.8 GiB analytic ResourceExhausted
+    # intermittently at the 10,240-step size); at block 512 the same
+    # budget admits only group=1 (~3x more regeneration)
     ap.add_argument("--gram_group", type=int, default=12)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--no_pallas", action="store_true")

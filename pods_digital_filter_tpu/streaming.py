@@ -161,15 +161,28 @@ class HostBlockCache:
         return cached
 
 
-def _insert_tile_impl(buf, tile, row, col):
-    """``buf[row:row+r, col:col+c] = tile`` — the Gram-strip update.  The
-    buffer is donated, so on TPU the update aliases in place (no
-    strip-sized copy per column)."""
-    return jax.lax.dynamic_update_slice(
-        buf, tile, (jnp.asarray(row, jnp.int32), jnp.asarray(col, jnp.int32)))
+import functools
 
 
-_insert_tile = jax.jit(_insert_tile_impl, donate_argnums=0)
+@functools.lru_cache(maxsize=None)
+def _make_column_update(pair_fn):
+    """ONE jitted dispatch per Gram column: all of the panel's row-block
+    GEMMs against the column block, concatenated and written into the
+    donated strip at the column offset.  Folding the per-row GEMM +
+    insert pair into a single program matters on the remote-tunnel
+    backend, where every dispatch costs a fixed round-trip (at the
+    flagship size: ~25 dispatches/column x ~2000 columns).  lru_cached on
+    ``pair_fn`` (a module-level function) so every strip — and every
+    streamed_gram call — reuses one jit instance and its executables;
+    different panel sizes are just separate traces inside it."""
+
+    def update(strip, blocks, Aj, col):
+        tiles = [pair_fn(b, Aj) for b in blocks]
+        tile = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, 0)
+        return jax.lax.dynamic_update_slice(
+            strip, tile, (jnp.int32(0), jnp.asarray(col, jnp.int32)))
+
+    return jax.jit(update, donate_argnums=0)
 
 
 def _contiguous_runs(indices):
@@ -249,7 +262,6 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
         for run in _contiguous_runs(pending):
             t_lo = starts[run[0]]                      # first strip step
             widths = [min(block, ns - starts[bi]) for bi in run]
-            offs = [sum(widths[:i]) for i in range(len(run))]
             w = sum(widths)
             # resident panel: a dict of row BLOCKS (no concatenation — see
             # docstring), drained as they generate so the build never
@@ -266,17 +278,22 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
             # 1-element drain (a cheap bound on dispatch run-ahead) and
             # the single strip download at the end
             strip = zeros((w, ns - t_lo), panel[run[0]].dtype)
+            col_update = _make_column_update(pair_fn)
+            blocks = tuple(panel[bi] for bi in run)
             for ji in range(run[0], nb):
                 tj = starts[ji]
                 # panel columns reuse the resident blocks — no regeneration
                 Aj = panel[ji] if ji in panel else gen(tj)
-                for bi, off in zip(run, offs):
-                    strip = _insert_tile(strip, pair_fn(panel[bi], Aj),
-                                         off, tj - t_lo)
+                strip = col_update(strip, blocks, Aj, tj - t_lo)
                 if (ji - run[0]) % 8 == 7:
                     hard_sync(strip)
             host_strip = to_host(strip)                # ONE download
+            # drop every reference to this strip's panel BEFORE the next
+            # strip generates its own: the `blocks` tuple alone keeps the
+            # full 7-9 GiB panel alive, and two panels coexisting is an
+            # instant ResourceExhausted (measured)
             panel.clear()
+            del blocks, strip, Aj
             off = 0
             for bi, wi in zip(run, widths):
                 ti = starts[bi]
