@@ -275,10 +275,17 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
     )
 
 
-def _export_model(cfg, geom, pr, fr, mean_host, dt, files):
-    """Model export shared by the in-memory and streaming paths."""
+def _export_model(cfg, geom, pr, fr, mean_host, dt, files,
+                  defer_eigenvalues: bool = False):
+    """Model export shared by the in-memory and streaming paths.
+
+    ``defer_eigenvalues``: skip the eigenvalue file — the streaming path
+    writes it after the deferred spectrum resolves (the only export that
+    consumes the full spectrum)."""
     outdir = cfg.outdir
-    files.append(prf_io.write_eigenvalues(outdir, pr.num_valid, pr.energy))
+    if not defer_eigenvalues:
+        files.append(prf_io.write_eigenvalues(outdir, pr.num_valid,
+                                              pr.energy))
     files.append(prf_io.write_mean_prf(outdir, mean_host, geom, cfg.plane.normal))
     # the reference always writes the mean-field VTK on the POD main
     # path (PODFS.py:1341) and the per-mode VTKs under verbose
@@ -434,10 +441,15 @@ def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,
     from pods_digital_filter_tpu import streaming
 
     with timer.stage("streaming_pod"):
+        # defer_spectrum: on the two-phase eig path the Ns x Ns eigvalsh
+        # (the flagship's longest host stage) keeps running in a worker
+        # thread while Fourier compression and the mode/mean exports
+        # below execute — it is only needed for the valid-mode count and
+        # the eigenvalue file, which are finalized at resolve()
         sp = streaming.streaming_pod(
             cfg, fields, filt, rotate=rotate, block=cfg.streaming_block,
             num_modes_trunc=cfg.podfs.num_modes, tol_cn=cfg.podfs.tol_cn,
-            verbose=cfg.verbose, timer=timer)
+            verbose=cfg.verbose, timer=timer, defer_spectrum=True)
     pr = sp.pod
     mean_host = sp.mean_field
 
@@ -451,9 +463,31 @@ def _run_pipeline_streaming(cfg, fields, dt, filt, rotate, geom, timer,
         fr = fourier.fourier_compress(
             pr.temporal_modes, pr.num_trunc, dt, cfg.podfs.energy_target)
 
+    deferred = sp.spectrum_pending
     if write_outputs:
         with timer.stage("export"):
-            _export_model(cfg, geom, pr, fr, mean_host, dt, files)
+            _export_model(cfg, geom, pr, fr, mean_host, dt, files,
+                          defer_eigenvalues=deferred)
+
+    if deferred:
+        with timer.stage("streaming_eigh_spectrum"):
+            shrank = sp.resolve()
+        if shrank:
+            # pathological (valid modes < requested truncation, e.g. a
+            # huge tol_cn): the optimistic Fourier/export ran with too
+            # many modes — redo both with the final truncation
+            with timer.stage("fourier"):
+                fr = fourier.fourier_compress(
+                    pr.temporal_modes, pr.num_trunc, dt,
+                    cfg.podfs.energy_target)
+            if write_outputs:
+                with timer.stage("export"):
+                    files.clear()
+                    _export_model(cfg, geom, pr, fr, mean_host, dt, files,
+                                  defer_eigenvalues=True)
+        if write_outputs:
+            files.append(prf_io.write_eigenvalues(
+                cfg.outdir, pr.num_valid, pr.energy))
 
     return PipelineResult(
         config=cfg, dt=dt, geometry=geom,

@@ -59,6 +59,43 @@ class StreamingPODResult:
     pod: pod_ops.PODResult
     num_blocks: int
     block: int
+    # deferred-spectrum handle (streaming_pod(defer_spectrum=True)): the
+    # eigvalsh of the Ns x Ns Gram still running in a worker thread while
+    # the caller runs Fourier compression and model export; resolve()
+    # joins it and finalizes pod.energy / num_valid / num_trunc
+    _pending: object = None
+
+    @property
+    def spectrum_pending(self) -> bool:
+        return self._pending is not None
+
+    def resolve(self) -> bool:
+        """Join the deferred spectrum (no-op if already resolved).
+
+        Returns True if the valid-mode count came out SMALLER than the
+        optimistic truncation the caller proceeded with — the pathological
+        case in which Fourier/export stages run on more modes than are
+        valid and must be redone (tests/test_streaming.py covers it via a
+        large tol_cn)."""
+        if self._pending is None:
+            return False
+        spec_fut, pool, tol_cn, num_modes_trunc, k = self._pending
+        energy = spec_fut.result()
+        pool.shutdown(wait=False)
+        self._pending = None
+        nan_mask = ~np.isfinite(energy)
+        energy = np.sort(np.where(nan_mask, -1.0e10, energy))[::-1]
+        num_valid = pod_ops.count_valid_modes(energy, tol_cn)
+        num_trunc = num_modes_trunc
+        if num_trunc < 0 or num_trunc > num_valid:
+            num_trunc = num_valid
+        self.pod.energy = energy
+        self.pod.num_valid = num_valid
+        shrank = num_trunc < self.pod.num_trunc
+        self.pod.num_trunc = num_trunc
+        if shrank:
+            self.pod.spatial_modes = self.pod.spatial_modes[:, :num_trunc]
+        return shrank
 
 
 def _block_starts(ns: int, block: int):
@@ -441,9 +478,17 @@ def streaming_pod(
     tol_cn: float = 1.0e-15,
     verbose: bool = False,
     timer=None,
+    defer_spectrum: bool = False,
 ) -> StreamingPODResult:
     """Snapshot POD of the full ``cfg.nsteps`` generation run without ever
     materializing the snapshot matrix.
+
+    ``defer_spectrum=True`` (two-phase eig path only): return while the
+    full eigvalsh spectrum — needed only for the valid-mode count and the
+    eigenvalue file — still runs in a worker thread; the caller overlaps
+    Fourier compression / model export with it and calls
+    ``result.resolve()`` before touching ``pod.energy``/``num_valid``
+    (pipeline._run_pipeline_streaming).
 
     ``cfg/fields/filt`` are exactly the arguments of
     :func:`pipeline.generate_snapshot_matrix`; blocks are regenerated with
@@ -561,38 +606,45 @@ def streaming_pod(
         k = max(1, min(max(nvec, num_modes_trunc), ns))
         with stage("streaming_eigh_vectors"):
             e_k, v_k = pod_ops.eigh_desc_topk(C, k)
-        with ThreadPoolExecutor(1) as pool:
-            spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
-            with stage("streaming_projection"):
-                # reference temporal-mode scaling (PODFS.py:1322-1325) on
-                # the k Lanczos columns (eigenvalues agree with the
-                # spectrum to machine precision — tests/test_pod.py)
-                temporal = v_k.copy()
-                mag = np.einsum("ij,ij->j", temporal, temporal) / ns
-                scale = np.where(mag > 0, np.sqrt(
-                    np.maximum(e_k, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
-                temporal *= scale[None, :]
-                phi = project(temporal, e_k, k)
-                try:
-                    phi.copy_to_host_async()   # overlaps the spectrum too
-                except Exception:
-                    pass
-            with stage("streaming_eigh_spectrum"):
-                energy = spec_fut.result()
-        nan_mask = ~np.isfinite(energy)
-        energy = np.sort(np.where(nan_mask, -1.0e10, energy))[::-1]
-        num_valid = pod_ops.count_valid_modes(energy, tol_cn)
-        num_trunc = num_modes_trunc
-        if num_trunc < 0 or num_trunc > num_valid:
-            num_trunc = num_valid
-        if num_trunc < k:              # pathological: fewer valid than k
-            phi = phi[:, :num_trunc]
-    else:
-        with stage("streaming_eigh"):
-            energy, temporal, num_valid, num_trunc = \
-                pod_ops.temporal_from_gram(C, ns, num_modes_trunc, tol_cn)
+        pool = ThreadPoolExecutor(1)
+        spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
         with stage("streaming_projection"):
-            phi = project(temporal, energy, num_trunc)
+            # reference temporal-mode scaling (PODFS.py:1322-1325) on
+            # the k Lanczos columns (eigenvalues agree with the
+            # spectrum to machine precision — tests/test_pod.py)
+            temporal = v_k.copy()
+            mag = np.einsum("ij,ij->j", temporal, temporal) / ns
+            scale = np.where(mag > 0, np.sqrt(
+                np.maximum(e_k, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
+            temporal *= scale[None, :]
+            phi = project(temporal, e_k, k)
+            try:
+                phi.copy_to_host_async()   # overlaps the spectrum too
+            except Exception:
+                pass
+        # optimistic result: the caller may run Fourier/export against the
+        # k truncated modes while the spectrum thread finishes
+        # (defer_spectrum); resolve() joins and finalizes
+        pr = pod_ops.PODResult(
+            energy=e_k, temporal_modes=temporal,
+            spatial_modes=np.asarray(phi),
+            num_valid=k, num_trunc=min(k, num_modes_trunc),
+        )
+        res = StreamingPODResult(
+            mean_field=np.asarray(m, dtype=np.float64), pod=pr,
+            num_blocks=nb, block=block,
+            _pending=(spec_fut, pool, tol_cn, num_modes_trunc, k),
+        )
+        if not defer_spectrum:
+            with stage("streaming_eigh_spectrum"):
+                res.resolve()
+        return res
+
+    with stage("streaming_eigh"):
+        energy, temporal, num_valid, num_trunc = \
+            pod_ops.temporal_from_gram(C, ns, num_modes_trunc, tol_cn)
+    with stage("streaming_projection"):
+        phi = project(temporal, energy, num_trunc)
 
     pr = pod_ops.PODResult(
         energy=energy,

@@ -261,3 +261,32 @@ def test_cache_host_ram_warning():
         warnings.simplefilter("error")               # small run: no warning
         streaming._warn_cache_host_ram(3 * 16 * 24, 16, 8,
                                        phys_bytes=64 * 2 ** 30)
+
+
+def test_deferred_spectrum_shrink_redo(tmp_path):
+    """Pathological deferred-spectrum case: a huge tol_cn makes the final
+    valid-mode count SMALLER than the optimistic truncation the pipeline's
+    Fourier/export ran with — resolve() reports it, and the pipeline redoes
+    both so the exported model equals the full-eig path exactly."""
+    from pods_digital_filter_tpu.config import PODFSConfig
+
+    podfs = PODFSConfig(num_modes=6, energy_target=0.9, tol_cn=0.4)
+    cfg_f = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "full"),
+                 streaming_block=4, eig_mode="full", podfs=podfs)
+    cfg_t = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "topk"),
+                 streaming_block=4, eig_mode="topk", podfs=podfs)
+    rf = run_pipeline(cfg_f)
+    rt = run_pipeline(cfg_t)
+    assert rf.pod.num_valid < 6            # tol_cn actually bit
+    assert rt.pod.num_valid == rf.pod.num_valid
+    assert rt.pod.num_trunc == rf.pod.num_trunc
+    np.testing.assert_allclose(rt.pod.energy, rf.pod.energy,
+                               rtol=1e-10, atol=1e-14)
+
+    from pods_digital_filter_tpu import replay
+    mf = replay.load_prf(cfg_f.outdir)
+    mt = replay.load_prf(cfg_t.outdir)
+    assert mt.num_modes == mf.num_modes
+    ts = np.linspace(0.0, mf.period, 5)
+    np.testing.assert_allclose(replay.Replayer(mt).batch(ts),
+                               replay.Replayer(mf).batch(ts), atol=1e-8)
