@@ -116,14 +116,6 @@ def _pair_products_fields(Xi, Xj):
 
 
 @jax.jit
-def _project_block_fields(phi, Xc, M):
-    """phi += einsum(Xc, M) over a centered block's time axis; output stays
-    sharded over 's'."""
-    return phi + jnp.einsum("ctjk,tm->cmjk", Xc, M,
-                            preferred_element_type=phi.dtype)
-
-
-@jax.jit
 def _project_block_fields_at(phi, Xc, Mfull, t0):
     """``phi += einsum(Xc, Mfull[t0:t0+T])`` with the mode-coefficient
     matrix uploaded ONCE (replicated) and sliced inside the jit — one

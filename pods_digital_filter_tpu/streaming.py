@@ -136,12 +136,6 @@ def _pair_products(Ai, Aj):
     return jnp.dot(Ai.T, Aj, preferred_element_type=Ai.dtype)
 
 
-@jax.jit
-def _project_block(phi, Ac, M):
-    """phi += Ac @ M for a centered block."""
-    return phi + jnp.dot(Ac, M, preferred_element_type=phi.dtype)
-
-
 class HostBlockCache:
     """Host-side cache of generated blocks (``--streaming_cache``): pass 1
     stores each block once; later passes read it back instead of
