@@ -290,3 +290,16 @@ def test_deferred_spectrum_shrink_redo(tmp_path):
     ts = np.linspace(0.0, mf.period, 5)
     np.testing.assert_allclose(replay.Replayer(mt).batch(ts),
                                replay.Replayer(mf).batch(ts), atol=1e-8)
+
+
+def test_flagship_default_gram_config_fits_budget():
+    """The shipped flagship Gram configuration (block 128 x group 12,
+    benchmarks/bench_flagship.py) must sit inside the HBM warn budget with
+    fragmentation headroom — and the next group up must still fit too (the
+    warn threshold is calibrated to the measured block-512 boundary, not
+    to this block size; groups >= 14 are what measurably ResourceExhaust)."""
+    np3 = 3 * 1024 * 512
+    est12 = streaming.gram_pass_hbm_estimate(np3, 128, 12, 4, 8)
+    assert est12 < streaming.HBM_WARN_BYTES
+    # headroom: at least 2 GiB under the warn line at the default
+    assert streaming.HBM_WARN_BYTES - est12 > 2 * 2 ** 30
