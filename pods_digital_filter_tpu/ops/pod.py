@@ -104,8 +104,14 @@ def sort_eigenvalues_desc(energy: np.ndarray, vectors: np.ndarray):
 
 @dataclass
 class PODResult:
-    energy: np.ndarray           # (Ns,) eigenvalues, descending
-    temporal_modes: np.ndarray   # (Ns, Ns); first num_valid columns scaled
+    """INVARIANT (two-phase eig path): ``temporal_modes`` may hold only
+    the truncated leading columns — its width is ``>= num_trunc`` but can
+    be SMALLER than ``num_valid`` (which counts the full spectrum once a
+    deferred spectrum resolves).  Consumers slicing by ``num_valid`` must
+    clamp to ``min(num_valid, temporal_modes.shape[1])``; the first
+    ``num_trunc`` columns are always present and reference-scaled."""
+    energy: np.ndarray           # (>= num_trunc,) eigenvalues, descending
+    temporal_modes: np.ndarray   # (Ns, >= num_trunc); leading cols scaled
     spatial_modes: np.ndarray    # (3*Np, num_trunc)
     num_valid: int
     num_trunc: int
@@ -161,8 +167,15 @@ def eigh_desc_topk(C, k: int) -> tuple:
     else:
         from scipy.sparse.linalg import eigsh
 
-        e, v = eigsh(Cs, k=k, which="LA")
-    return e[::-1], v[:, ::-1]
+        # deterministic start vector (ADVICE r4): ARPACK otherwise seeds
+        # its Krylov space from an undocumented RNG, making eigenvector
+        # signs / degenerate-subspace bases run-to-run nondeterministic
+        v0 = np.full(n, 1.0 / math.sqrt(n))
+        e, v = eigsh(Cs, k=k, which="LA", v0=v0)
+    # explicit descending sort: neither driver GUARANTEES ascending output
+    # (ARPACK in particular documents no order for which='LA')
+    order = np.argsort(-e, kind="stable")
+    return e[order], v[:, order]
 
 
 @jax.jit

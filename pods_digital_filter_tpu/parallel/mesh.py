@@ -65,15 +65,27 @@ def hard_sync(x):
     0.0 s and then stalled the next transfer ~30 s) — so stage timers that
     end with it under-report and charge the work to the next sync point.
     A 1-element transfer of the stage's output is ordered behind its
-    producing computation and cannot complete early."""
+    producing computation and cannot complete early.
+
+    For a sharded array one element is fetched PER addressable shard
+    (ADVICE r4): a single global element only drains the device holding
+    it — the other devices' queues could still be running.  Non-addressable
+    shards (other processes' devices under ``jax.distributed``) are each
+    drained by their own process executing the same SPMD program."""
     jax.block_until_ready(x)
-    if isinstance(x, jax.Array) and x.size and getattr(
-            x, "is_fully_addressable", True):
-        # a SCALAR index, not ravel()[:1]: ravel lowers to a reshape
-        # program whose output buffer is a full copy of x — syncing a
-        # panel-sized array that way ResourceExhausts at the HBM ceiling
-        # (measured at the flagship Gram panel)
-        np.asarray(x[(0,) * x.ndim])
+    if isinstance(x, jax.Array) and x.size:
+        try:
+            shards = x.addressable_shards
+        except Exception:
+            shards = []
+        if shards:
+            for s in shards:
+                if s.data.size:
+                    # a SCALAR index, not ravel()[:1]: ravel lowers to a
+                    # reshape program whose output buffer is a full copy
+                    np.asarray(s.data[(0,) * s.data.ndim])
+        elif getattr(x, "is_fully_addressable", True):
+            np.asarray(x[(0,) * x.ndim])
     return x
 
 

@@ -307,3 +307,61 @@ def test_flagship_default_gram_config_fits_budget():
     assert est12 < streaming.HBM_WARN_BYTES
     # headroom: at least 2 GiB under the warn line at the default
     assert streaming.HBM_WARN_BYTES - est12 > 2 * 2 ** 30
+
+
+def test_run_pipeline_defer_finalize(tmp_path):
+    """run_pipeline(defer_finalize=True): returns with the model files
+    written but the eigenvalue file pending; finalize() joins the spectrum
+    thread and completes the export identically to the eager path."""
+    import os
+
+    cfg_e = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "eager"),
+                 streaming_block=4, eig_mode="topk")
+    cfg_d = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "defer"),
+                 streaming_block=4, eig_mode="topk")
+    re_ = run_pipeline(cfg_e)
+    rd = run_pipeline(cfg_d, defer_finalize=True)
+    assert rd.finalize_pending
+    assert os.path.exists(os.path.join(cfg_d.outdir, "PODFS.dat"))
+    assert not os.path.exists(os.path.join(cfg_d.outdir,
+                                           "POD.eigenvalues.dat"))
+    rd.finalize()
+    assert not rd.finalize_pending
+    rd.finalize()                       # idempotent
+    assert os.path.exists(os.path.join(cfg_d.outdir, "POD.eigenvalues.dat"))
+    assert rd.pod.num_valid == re_.pod.num_valid
+    np.testing.assert_allclose(rd.pod.energy, re_.pod.energy,
+                               rtol=1e-12, atol=1e-16)
+    ev_e = open(os.path.join(cfg_e.outdir, "POD.eigenvalues.dat")).read()
+    ev_d = open(os.path.join(cfg_d.outdir, "POD.eigenvalues.dat")).read()
+    assert ev_e == ev_d
+
+
+def test_shrink_redo_removes_stale_mode_files(tmp_path):
+    """Round-4 verdict weak #5 / ADVICE: the shrink-redo path must leave an
+    output directory identical to a full-eig run — in particular no
+    orphaned PODFS_mode_%04i.prf files beyond the final truncation (a
+    downstream solver globbing mode files would load garbage)."""
+    import glob
+    import os
+
+    from pods_digital_filter_tpu.config import PODFSConfig
+
+    podfs = PODFSConfig(num_modes=6, energy_target=0.9, tol_cn=0.4)
+    cfg_f = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "full2"),
+                 streaming_block=4, eig_mode="full", podfs=podfs)
+    cfg_t = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "topk2"),
+                 streaming_block=4, eig_mode="topk", podfs=podfs)
+    rf = run_pipeline(cfg_f)
+    rt = run_pipeline(cfg_t)
+    assert rt.pod.num_trunc < 6             # the shrink actually happened
+    modes_f = sorted(os.path.basename(p) for p in
+                     glob.glob(os.path.join(cfg_f.outdir, "PODFS_mode_*.prf")))
+    modes_t = sorted(os.path.basename(p) for p in
+                     glob.glob(os.path.join(cfg_t.outdir, "PODFS_mode_*.prf")))
+    assert modes_t == modes_f
+    assert len(modes_t) == rt.pod.num_trunc
+    # full directory listing parity (both wrote the same artifact set)
+    ls_f = sorted(os.listdir(cfg_f.outdir))
+    ls_t = sorted(os.listdir(cfg_t.outdir))
+    assert ls_t == ls_f
