@@ -14,24 +14,21 @@ shifted-index DFT for both even and odd Ns (the reference's ``k = n - Ns/2``
 uses Python-2 floor division, which coincides with numpy's fftshift center).
 The reconstruction check uses the masked inverse FFT.  The O(Ns log Ns)
 ranking/selection is host-side numpy (tiny).
+
+The FFT itself runs on the HOST (pocketfft): the coefficient matrix is
+``(Ns, nm)`` — a few MB at most, milliseconds either way — while a device
+FFT dispatch must WAIT for whatever already occupies the device queue; in
+the round-5 flagship that was the ~35 s full-spectrum Lanczos scan
+running under the export stages, and the queued device FFT serialized the
+whole tail behind it (measured +35 s).  Host numpy is also the
+reference's own arithmetic (PODFS.py:1562-1573 runs numpy complex math).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-
-@jax.jit
-def _coeff_matrix_split(temporal_modes: jax.Array):
-    y = temporal_modes.astype(jnp.float32) if temporal_modes.dtype == jnp.bfloat16 else temporal_modes
-    c = jnp.fft.fftshift(jnp.fft.fft(y, axis=0), axes=0) / y.shape[0]
-    # complex device->host transfer is unimplemented on some TPU runtimes;
-    # cross the jit boundary as two real arrays.
-    return jnp.real(c), jnp.imag(c)
 
 
 def fourier_coeff_matrix(temporal_modes) -> np.ndarray:
@@ -40,24 +37,16 @@ def fourier_coeff_matrix(temporal_modes) -> np.ndarray:
     ``temporal_modes`` is ``(Ns, nm)`` real.  Equivalent to the reference's
     per-(mode, frequency) double loop (PODFS.py:1562-1573) — one batched FFT.
     """
-    re, im = _coeff_matrix_split(jnp.asarray(temporal_modes))
-    return np.asarray(re) + 1j * np.asarray(im)
-
-
-@jax.jit
-def _reconstruct_split(c_re: jax.Array, c_im: jax.Array) -> jax.Array:
-    ns = c_re.shape[0]
-    c = jax.lax.complex(c_re, c_im)
-    return jnp.real(jnp.fft.ifft(jnp.fft.ifftshift(c, axes=0), axis=0)) * ns
+    y = np.asarray(temporal_modes, dtype=np.float64)
+    return np.fft.fftshift(np.fft.fft(y, axis=0), axes=0) / y.shape[0]
 
 
 def reconstruct_from_coeffs(c_masked) -> np.ndarray:
     """Inverse of :func:`fourier_coeff_matrix` with unselected coefficients
     zeroed — the reference's reconstruction check ``y2`` (PODFS.py:1602-1612)."""
     c = np.asarray(c_masked)
-    re = jnp.asarray(np.ascontiguousarray(c.real))
-    im = jnp.asarray(np.ascontiguousarray(c.imag))
-    return np.asarray(_reconstruct_split(re, im))
+    ns = c.shape[0]
+    return np.real(np.fft.ifft(np.fft.ifftshift(c, axes=0), axis=0)) * ns
 
 
 def rank_coefficients(cmod: np.ndarray) -> np.ndarray:

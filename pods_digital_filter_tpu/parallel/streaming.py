@@ -291,17 +291,17 @@ def streaming_pod_sharded(
         pool = ThreadPoolExecutor(1)
         spec_fut = None
         e_k = v_k = None
+        C_sym = None
         if C_dev is not None:
-            spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
             with stage("streaming_eigh_vectors"):
                 C_sym = symmetrize_gram_device(C_dev, ns)
                 C_dev = None
                 e_k, v_k = lanczos.topk_or_none(C_sym, k)
-                del C_sym
+            if e_k is None:
+                C_sym = None
         if e_k is None:
             with stage("streaming_eigh_vectors"):
                 e_k, v_k = pod_ops.eigh_desc_topk(C, k)
-        if spec_fut is None:
             spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
         with stage("streaming_projection"):
             # reference temporal-mode scaling (PODFS.py:1322-1325) on the
@@ -312,9 +312,23 @@ def streaming_pod_sharded(
                 np.maximum(e_k, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
             temporal *= scale[None, :]
             phi = project(temporal, e_k, k)
+            # land the packed modes BEFORE the device spectrum dispatch
+            # (a pending gather would otherwise queue behind the scan —
+            # see streaming.streaming_pod)
+            phi_packed = pack(phi)
+        if spec_fut is None:
+            # device full-spectrum (see streaming.streaming_pod): queues
+            # behind the projection on the mesh, overlaps the host-side
+            # Fourier/export; host eigvalsh fallback inside the worker
+            def _device_spectrum(C_sym=C_sym):
+                e = lanczos.full_spectrum(C_sym)
+                return pod_ops.eig_spectrum_desc(C) if e is None else e
+
+            spec_fut = pool.submit(_device_spectrum)
+            C_sym = None
         pr = pod_ops.PODResult(
             energy=e_k, temporal_modes=temporal,
-            spatial_modes=pack(phi),
+            spatial_modes=phi_packed,
             num_valid=k, num_trunc=min(k, num_modes_trunc),
         )
         res = ShardedStreamingResult(

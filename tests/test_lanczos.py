@@ -101,3 +101,39 @@ def test_symmetrize_gram_device_matches_host(tmp_path):
     C_sym = np.asarray(streaming.symmetrize_gram_device(C_dev, 14))
     np.testing.assert_allclose(C_sym, C_host, rtol=1e-13, atol=1e-15)
     np.testing.assert_allclose(C_sym, C_sym.T, atol=0)
+
+
+def test_full_spectrum_matches_eigvalsh(rng):
+    """m = n Lanczos with full reorthogonalization is a complete
+    tridiagonalization: the device full-spectrum path must match host
+    eigvalsh across the WHOLE spectrum (f64)."""
+    n = 220
+    C = _gram(rng, n, 64, 0.1)
+    e_ref = pod.eig_spectrum_desc(C)
+    e = lanczos.full_spectrum(jnp.asarray(C))
+    assert e.shape == (n,)
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_full_spectrum_f32_noise_floor(rng):
+    """In float32 the device spectrum matches a float64 solve of the same
+    matrix to the f32 noise floor (~eps * lambda_0) — the same floor the
+    f32-accumulated Gram data itself carries."""
+    n = 300
+    C64 = _gram(rng, n, 48, 0.05)
+    e_ref = pod.eig_spectrum_desc(C64)
+    e = lanczos.full_spectrum(jnp.asarray(C64, dtype=jnp.float32))
+    np.testing.assert_allclose(e, e_ref, atol=5e-5 * e_ref[0])
+    # top of the spectrum is much tighter
+    np.testing.assert_allclose(e[:10], e_ref[:10], rtol=2e-5)
+
+
+def test_full_spectrum_rank_deficient(rng):
+    """Breakdown restarts mid-run must still produce the complete exact
+    spectrum (rank-deficient Gram, trailing zeros)."""
+    n, r = 150, 12
+    C = _gram(rng, n, r, 0.0) - 1e-10 * np.eye(n)
+    e_ref = pod.eig_spectrum_desc(C)
+    e = lanczos.full_spectrum(jnp.asarray(C))
+    np.testing.assert_allclose(e[:r], e_ref[:r], rtol=1e-8)
+    np.testing.assert_allclose(e[r:], 0.0, atol=1e-7 * e_ref[0])
