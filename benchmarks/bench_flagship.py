@@ -78,17 +78,21 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool,
     np.asarray(gen_w(0)[0, :1])
     warmup_s = time.perf_counter() - t0
 
-    # round-5 structure: run_pipeline returns with the model files written
-    # except the eigenvalue file, while the full-spectrum eigvalsh worker
-    # thread still runs; the replay verification (pure host work on the
-    # already-written mode/mean/dat files) executes UNDER it, and
-    # finalize() then joins the thread and writes POD.eigenvalues.dat.
-    # `value` = wall until the model is COMPLETE on disk (same semantic as
-    # round 4's value, which also ended at the eigenvalue write) — the
-    # replay verify inside the window is free overlap, reported separately.
+    # round-5 structure: the device block-Lanczos eigen half is
+    # synchronous, so run_pipeline normally returns with the model fully
+    # written (finalize() a no-op; `value` = that wall).  On the
+    # checkpoint-resume/host-fallback path a deferred spectrum thread may
+    # still be running — finalize() joins it and writes the eigenvalue
+    # file, inside the timed window (model completeness is the metric).
+    # The replay verification runs AFTER the clock stops and is reported
+    # separately.
     t0 = time.perf_counter()
     res = run_pipeline(cfg, write_outputs=True, defer_finalize=True)
     pipeline_return_s = time.perf_counter() - t0
+    tf = time.perf_counter()
+    res.finalize()
+    finalize_s = time.perf_counter() - tf
+    total = time.perf_counter() - t0
 
     tv = time.perf_counter()
     model = replay.load_prf(outdir)
@@ -98,11 +102,6 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool,
     verify_s = time.perf_counter() - tv
     assert np.isfinite(fields).all()
     fluct = fields - np.mean(fields, axis=0, keepdims=True)
-
-    tf = time.perf_counter()
-    res.finalize()
-    finalize_s = time.perf_counter() - tf
-    total = time.perf_counter() - t0
     peak = device_peak_bytes()
 
     from pods_digital_filter_tpu import streaming as streaming_mod
@@ -128,9 +127,8 @@ def flagship(outdir: str, nsteps: int, gram_group: int, use_pallas: bool,
             "use_pallas": use_pallas,
             "model_files": len(res.files),
             "pipeline_return_s": round(pipeline_return_s, 2),
+            "finalize_s": round(finalize_s, 2),
             "replay_verify_s": round(verify_s, 2),
-            "replay_verify_overlapped_spectrum": True,
-            "spectrum_join_after_verify_s": round(finalize_s, 2),
             "replay_fluct_rms": float(np.sqrt(np.mean(fluct ** 2))),
             "energy_top1_frac": float(res.pod.energy[0]
                                       / res.pod.energy[: res.pod.num_valid]

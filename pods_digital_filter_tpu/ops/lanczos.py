@@ -169,6 +169,177 @@ def full_spectrum(C_sym, seed: int = 0) -> np.ndarray:
     return theta[::-1].copy()
 
 
+@functools.partial(jax.jit, static_argnames=("b", "steps"))
+def _block_lanczos_scan(Csym, W0, key, b: int, steps: int):
+    """``steps`` block-Lanczos steps with block size ``b`` — a COMPLETE
+    orthogonal band reduction when ``steps * b == n``.
+
+    Why blocks: the scalar recurrence reads the (n, n) matrix and the
+    (n, n) basis ~5x per VECTOR; the block version reads them ~5x per
+    BLOCK — an 8x cut in HBM traffic for b = 8 (the flagship full
+    spectrum drops from ~35 s to ~4 s of device time).
+
+    Per step: matvec block ``U = W C`` (C read once), diagonal block
+    ``A = U W^T`` (symmetrized), CGS2 reorthogonalization against the
+    ENTIRE basis, robust orthonormalization of the new block via a b x b
+    eigendecomposition — rank-deficient directions (Krylov closure,
+    low-rank matrices) are replaced by fresh pseudo-random vectors in the
+    orthogonal complement, and the recorded coupling ``E = U W_next^T``
+    is then ~0 there, decoupling the band matrix exactly like the scalar
+    beta = 0 restart.  Returns ``(Q (steps*b, n), A (steps, b, b),
+    E (steps, b, b))`` with ``E[i] = T[block i, block i+1]``; the last
+    ``E`` only feeds residual estimates."""
+    n = Csym.shape[0]
+    dt = Csym.dtype
+    eps = np.finfo(np.dtype(dt)).eps
+    tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny ** 0.5, dt)
+
+    def cgs2(Q, U):
+        U = U - (U @ Q.T) @ Q
+        return U - (U @ Q.T) @ Q
+
+    def orthonormal_rows(U, Q, key_i):
+        """W with orthonormal rows spanning U's row space; deficient rows
+        (Krylov closure) replaced by random complements.
+
+        Implemented as a STATICALLY-UNROLLED modified Gram-Schmidt over
+        the b rows — pure dot/axpy/where vector ops.  A b x b
+        ``jnp.linalg.eigh``-based orthonormalization is mathematically
+        nicer but its TPU lowering inside a scan CRASHES this backend's
+        worker outright at the flagship size (measured round 5); MGS with
+        a second pass is numerically adequate at b = 8 and lowers to
+        nothing but reductions."""
+        u_scale = jnp.maximum(jnp.max(jnp.linalg.norm(U, axis=1)), tiny)
+        thresh = (b * 10 * eps) * u_scale
+        W = jnp.zeros((b, n), dt)
+        for r in range(b):
+            v = U[r]
+            for _ in range(2):                 # MGS x2 against built rows
+                v = v - (W @ v) @ W
+            nrm = jnp.linalg.norm(v)
+            rnd = jax.random.normal(jax.random.fold_in(key_i, r), (n,), dt)
+            rnd = cgs2(Q, rnd[None, :])[0]
+            rnd = rnd - (W @ rnd) @ W
+            rnd = rnd / jnp.maximum(jnp.linalg.norm(rnd), tiny)
+            v = jnp.where(nrm > thresh, v / jnp.maximum(nrm, tiny), rnd)
+            W = W.at[r].set(v)
+        return W
+
+    def body(carry, i):
+        Q, W = carry
+        Q = jax.lax.dynamic_update_slice(Q, W, (i * b, jnp.int32(0)))
+        U = W @ Csym
+        A = U @ W.T
+        A = (A + A.T) * 0.5
+        U = cgs2(Q, U)                          # removes A, B couplings too
+        W_next = orthonormal_rows(U, Q, jax.random.fold_in(key, i))
+        E = U @ W_next.T                        # T[block i+1, block i]
+        return (Q, W_next), (A, E)
+
+    Q0 = jnp.zeros((steps * b, n), dt)
+    (Q, _), (A, E) = jax.lax.scan(
+        body, (Q0, W0), jnp.arange(steps, dtype=jnp.int32))
+    return Q, A, E
+
+
+def _band_from_blocks(A: np.ndarray, E: np.ndarray, b: int) -> np.ndarray:
+    """LAPACK upper-band storage ``ab[u + i - j, j] = T[i, j]`` for the
+    block-tridiagonal matrix with diagonal blocks ``A[i]`` and
+    SUPER-diagonal blocks ``E[i] = T[block i, block i+1]``
+    (``E = U W_next^T`` projects the residual of block i's matvec onto
+    block i+1 — row r, column c is T[b*i + r, b*(i+1) + c]); u = 2b - 1."""
+    steps = A.shape[0]
+    n = steps * b
+    u = 2 * b - 1
+    ab = np.zeros((u + 1, n), dtype=np.float64)
+    r_idx, c_idx = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
+    for i in range(steps):
+        # diagonal block: entries (bi + r, bi + c) with r <= c
+        ii = b * i + r_idx
+        jj = b * i + c_idx
+        m = r_idx <= c_idx
+        ab[u + ii[m] - jj[m], jj[m]] = A[i][m]
+        # super-diagonal block T[bi + r, b(i+1) + c] = E[i][r, c]
+        if i + 1 < steps:
+            ii = b * i + r_idx
+            jj = b * (i + 1) + c_idx
+            ab[u + ii - jj, jj] = E[i][r_idx, c_idx]
+    return ab
+
+
+def _pick_block(n: int) -> int:
+    for b in (8, 4, 2):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def spectrum_and_topk(C_sym, k: int, seed: int = 0,
+                      rel_tol: float | None = None):
+    """FULL descending spectrum + top-``k`` eigenvectors of a symmetric
+    device matrix from ONE complete block-Lanczos band reduction.
+
+    Used as the FLOAT64 eigen half of the streaming POD (CPU runs and
+    f64-capable devices): both outputs from one pass, after which the
+    pipeline tail is synchronous — no worker threads, no deferred
+    spectrum, no optimistic shrink-redo.  NOT used in float32: the MGS
+    block orthonormalization leaves ~1.5e-3 relative spectrum error
+    there (the scalar recurrence reaches ~1e-7), and this TPU backend
+    kernel-faults executing the block scan at (10240, b=8) — both
+    measured round 5; the f32 streaming path uses :func:`topk_or_none` +
+    :func:`full_spectrum` instead.  Quality gates (caller falls back to
+    the scalar/host paths on ``None``): finiteness, trace identity
+    ``|sum(lambda) - tr(C)| <= tol * tr``, and top-k Ritz residuals
+    ``||C v - lambda v|| <= tol * |lambda_0|``.
+
+    Returns ``(energy (n,) float64 desc, V (n, k) float64)`` or
+    ``(None, None)``."""
+    from scipy.linalg import eig_banded
+
+    from pods_digital_filter_tpu.parallel.mesh import to_host
+
+    n = C_sym.shape[0]
+    k = max(1, min(int(k), n))
+    b = _pick_block(n)
+    steps = n // b
+    eps = float(np.finfo(np.dtype(C_sym.dtype)).eps)
+    if rel_tol is None:
+        rel_tol = max(1.0e-8, 500.0 * eps)
+    key = jax.random.key(seed)
+    W0 = jax.random.normal(key, (b, n), C_sym.dtype)
+    # orthonormal start block (host QR of b x n is trivial)
+    W0 = jnp.asarray(np.linalg.qr(np.asarray(W0).T)[0].T, C_sym.dtype)
+    Q, A, E = _block_lanczos_scan(C_sym, W0, key, b, steps)
+    A_h = np.asarray(A, dtype=np.float64)
+    E_h = np.asarray(E, dtype=np.float64)
+    if not (np.isfinite(A_h).all() and np.isfinite(E_h).all()):
+        return None, None
+    ab = _band_from_blocks(A_h, E_h, b)
+    w = eig_banded(ab, lower=False, eigvals_only=True)
+    # trace identity: the band reduction is orthogonal, so the spectrum
+    # must preserve the trace to rounding
+    tr = float(np.asarray(jnp.trace(C_sym)))
+    scale = max(abs(tr), float(np.max(np.abs(w))) * n ** 0.5, 1e-300)
+    if abs(w.sum() - tr) > 50.0 * rel_tol * scale:
+        return None, None
+    wk, yk = eig_banded(ab, lower=False, select="i",
+                        select_range=(n - k, n - 1))
+    V = _ritz_vectors(Q, jnp.asarray(yk, C_sym.dtype))   # (n, k)
+    # Ritz residual gate on the returned vectors
+    lam = jnp.asarray(wk, C_sym.dtype)
+    Rres = C_sym @ V - V * lam[None, :]
+    res = np.asarray(jnp.linalg.norm(Rres, axis=0), dtype=np.float64)
+    lam0 = max(float(np.max(np.abs(w))), 1e-300)
+    if np.max(res) > rel_tol * lam0 * 50.0:
+        return None, None
+    Vh = to_host(V)
+    if not np.isfinite(Vh).all():
+        return None, None
+    energy = np.sort(w)[::-1]
+    order = np.argsort(-wk)
+    return energy, Vh[:, order]
+
+
 def topk_or_none(C_sym, k: int, m: int | None = None, seed: int = 0,
                  rel_tol: float | None = None):
     """:func:`lanczos_topk` with a quality gate: returns ``(e, V)`` or

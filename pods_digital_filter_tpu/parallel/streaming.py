@@ -236,11 +236,16 @@ def streaming_pod_sharded(
         sh = jax.sharding.NamedSharding(mesh, spec)
         return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sh)()
 
+    # device-eigen (topk) callers with no store never consume the host
+    # Gram except in rare fallbacks — skip its gather + host assembly
+    # (see streaming.streaming_pod)
+    nvec = pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc)
     with stage("streaming_gram"):
         C, C_dev = streamed_gram(gen_c, ns, block, _pair_products_fields,
                                  store=store, verbose=verbose,
                                  group=getattr(cfg, "gram_group", 1),
-                                 make_buf=_make_buf, return_device=True)
+                                 make_buf=_make_buf, return_device=True,
+                                 keep_host=nvec is None)
 
     sh_phi = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, None, None, "s"))
@@ -276,7 +281,6 @@ def streaming_pod_sharded(
         c, m_, jma, kma = phi.shape
         return to_host(phi).transpose(0, 2, 3, 1).reshape(c * jma * kma, m_)
 
-    nvec = pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc)
     if nvec is not None:
         # Two-phase eigen half with the round-4/5 overlap machinery (see
         # streaming.streaming_pod): spectrum worker thread FIRST, then the
@@ -288,20 +292,60 @@ def streaming_pod_sharded(
         from pods_digital_filter_tpu.streaming import symmetrize_gram_device
 
         k = max(1, min(max(nvec, num_modes_trunc), ns))
-        pool = ThreadPoolExecutor(1)
+        pool = None
         spec_fut = None
         e_k = v_k = None
         C_sym = None
         if C_dev is not None:
+            # float64: one complete block-Lanczos band reduction gives
+            # the FULL spectrum + top-k vectors synchronously; float32
+            # uses the scalar recurrence + deferred spectrum (see
+            # streaming.streaming_pod for the measured reasons)
+            e_full = v_blk = None
             with stage("streaming_eigh_vectors"):
                 C_sym = symmetrize_gram_device(C_dev, ns)
                 C_dev = None
+                if np.dtype(C_sym.dtype) == np.float64:
+                    e_full, v_blk = lanczos.spectrum_and_topk(C_sym, k)
+            if e_full is not None:
+                C_sym = None
+                energy = np.sort(np.where(np.isfinite(e_full), e_full,
+                                          -1.0e10))[::-1]
+                num_valid = pod_ops.count_valid_modes(energy, tol_cn)
+                num_trunc = num_modes_trunc
+                if num_trunc < 0 or num_trunc > num_valid:
+                    num_trunc = num_valid
+                num_trunc = min(num_trunc, k)
+                with stage("streaming_projection"):
+                    temporal = v_blk.copy()
+                    mag = np.einsum("ij,ij->j", temporal, temporal) / ns
+                    e_lead = energy[:k]
+                    scale = np.where(mag > 0, np.sqrt(
+                        np.maximum(e_lead, 0.0)
+                        / np.where(mag > 0, mag, 1.0)), 1.0)
+                    temporal *= scale[None, :]
+                    phi = project(temporal, e_lead, num_trunc)
+                    phi_packed = pack(phi)
+                pr = pod_ops.PODResult(
+                    energy=energy, temporal_modes=temporal,
+                    spatial_modes=phi_packed,
+                    num_valid=num_valid, num_trunc=num_trunc,
+                )
+                return ShardedStreamingResult(
+                    mean_field=to_host(mean_fields).reshape(-1), pod=pr,
+                    num_blocks=nb, block=block,
+                    mean_fields=mean_fields, spatial_mode_fields=phi,
+                )
+            with stage("streaming_eigh_vectors"):
                 e_k, v_k = lanczos.topk_or_none(C_sym, k)
             if e_k is None:
+                if C is None:   # host Gram skipped: materialize on demand
+                    C = to_host(C_sym)
                 C_sym = None
         if e_k is None:
             with stage("streaming_eigh_vectors"):
                 e_k, v_k = pod_ops.eigh_desc_topk(C, k)
+            pool = ThreadPoolExecutor(1)
             spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
         with stage("streaming_projection"):
             # reference temporal-mode scaling (PODFS.py:1322-1325) on the
@@ -320,10 +364,15 @@ def streaming_pod_sharded(
             # device full-spectrum (see streaming.streaming_pod): queues
             # behind the projection on the mesh, overlaps the host-side
             # Fourier/export; host eigvalsh fallback inside the worker
-            def _device_spectrum(C_sym=C_sym):
+            def _device_spectrum(C_sym=C_sym, C=C):
                 e = lanczos.full_spectrum(C_sym)
-                return pod_ops.eig_spectrum_desc(C) if e is None else e
+                if e is not None:
+                    return e
+                if C is None:
+                    C = to_host(C_sym)
+                return pod_ops.eig_spectrum_desc(C)
 
+            pool = ThreadPoolExecutor(1)
             spec_fut = pool.submit(_device_spectrum)
             C_sym = None
         pr = pod_ops.PODResult(

@@ -257,7 +257,7 @@ def _contiguous_runs(indices):
 
 def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
                   verbose: bool = False, group: int = 1, make_buf=None,
-                  return_device: bool = False):
+                  return_device: bool = False, keep_host: bool = True):
     """The shared O(B^2) pairwise Gram pass over regenerated blocks.
 
     ``gen(t0)`` returns the ALREADY-CENTERED block for steps
@@ -300,13 +300,22 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
     :func:`symmetrize_gram_device`), or None when any row was loaded
     from the checkpoint store (the accumulator would be incomplete) —
     the caller then falls back to host eigensolvers.
+
+    ``keep_host=False`` (device-eigen callers, no checkpoint store): skip
+    the strip downloads and the host assembly entirely and return
+    ``(None, C_dev)`` — at the flagship size that removes ~210 MB of
+    host-link traffic and the O(ns^2) host mirror from the pass; the
+    caller materializes a host Gram on demand (rare fallbacks) from the
+    symmetrized accumulator.  Forced True when a ``store`` is present
+    (checkpoint rows are host-side by design).
     """
     from pods_digital_filter_tpu.parallel.mesh import hard_sync, to_host
 
+    keep_host = keep_host or store is not None
     lead = jax.process_index() == 0
     starts = _block_starts(ns, block)
     nb = len(starts)
-    C = np.zeros((ns, ns), dtype=np.float64)
+    C = np.zeros((ns, ns), dtype=np.float64) if keep_host else None
     group = max(1, int(group))
     # buffer allocator: the sharded path passes one that creates GLOBAL
     # arrays with mesh shardings (a plain jnp.zeros is process-local and
@@ -393,30 +402,48 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
                 C_dev = col_update(C_dev, blocks, Aj, t_lo, tj)
                 if idx % 32 == 31:
                     hard_sync(C_dev)
-            # the PREVIOUS strip's async download has had this entire
-            # column sweep to stream — drain it now (first run: no-op)
-            drain()
-            # slice this panel's strip out of the accumulator and start
-            # its download; it streams while the NEXT panel generates and
-            # sweeps
-            sl = _make_strip_slice(w, ns - t_lo)(C_dev, t_lo)
-            try:
-                sl.copy_to_host_async()
-            except Exception:
-                pass          # backend without async copy: drain() syncs
-            pending_dl.append((sl, run, widths, t_lo))
+            if keep_host:
+                # the PREVIOUS strip's async download has had this entire
+                # column sweep to stream — drain it now (first run: no-op)
+                drain()
+                # slice this panel's strip out of the accumulator and
+                # start its download; it streams while the NEXT panel
+                # generates and sweeps
+                sl = _make_strip_slice(w, ns - t_lo)(C_dev, t_lo)
+                try:
+                    sl.copy_to_host_async()
+                except Exception:
+                    pass      # backend without async copy: drain() syncs
+                pending_dl.append((sl, run, widths, t_lo))
             # drop every reference to this strip's panel BEFORE the next
             # strip generates its own: the `blocks` tuple alone keeps the
             # full 7-9 GiB panel alive, and two panels coexisting is an
             # instant ResourceExhausted (measured)
             panel.clear()
             del blocks, Aj
+    if not keep_host:
+        hard_sync(C_dev)
+        if return_device:
+            return None, (C_dev if device_complete else None)
+        raise ValueError("keep_host=False requires return_device=True")
     drain()
-    iu = np.triu_indices(ns, 1)
-    C[(iu[1], iu[0])] = C[iu]                    # mirror upper -> lower
+    # mirror upper -> lower, blockwise (a global triu_indices fancy-index
+    # mirror allocates two ~ns^2/2 int64 index arrays — 840 MB at the
+    # flagship size — and scatters element-wise; the block transpose is a
+    # plain strided copy, ~10x faster; the small per-block fancy index
+    # covers the within-diagonal-block lower triangle)
+    bs = 1024
+    il = np.tril_indices(bs, -1)
+    for j0 in range(0, ns, bs):
+        j1 = min(j0 + bs, ns)
+        C[j0:j1, :j0] = C[:j0, j0:j1].T
+        blk = C[j0:j1, j0:j1]
+        ib = il if j1 - j0 == bs else np.tril_indices(j1 - j0, -1)
+        blk[ib] = blk.T[ib]
+    C /= ns
     if return_device:
-        return C / ns, (C_dev if device_complete else None)
-    return C / ns
+        return C, (C_dev if device_complete else None)
+    return C
 
 
 def make_centered_generator(cfg, fields, filt, block, ns, rotate, m,
@@ -650,11 +677,17 @@ def streaming_pod(
                                     cached_raw_gen=cached_raw_gen)
 
     # ---- pass 2: Gram (shared, resumable) -------------------------------
+    # On the device-eigen (topk) path with no checkpoint store, the host
+    # Gram is only a rare-fallback input — skip its ~ns^2/2 download and
+    # host assembly entirely (keep_host=False) and materialize it on
+    # demand from the symmetrized accumulator if a fallback ever needs it.
+    nvec = pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc)
     with stage("streaming_gram"):
         C, C_dev = streamed_gram(gen_c, ns, block, _pair_products,
                                  store=store, verbose=verbose,
                                  group=getattr(cfg, "gram_group", 1),
-                                 return_device=True)
+                                 return_device=True,
+                                 keep_host=nvec is None)
 
     # ---- eigen half + pass 3 (spatial modes) ----------------------------
     from pods_digital_filter_tpu.parallel.mesh import hard_sync
@@ -677,7 +710,6 @@ def streaming_pod(
             print("streaming POD: projection pass done")
         return phi
 
-    nvec = pod_ops.resolve_num_vectors(cfg, ns, num_modes_trunc)
     if nvec is not None:
         # Two-phase eigendecomposition, OVERLAPPED and device-resident
         # (round-4 verdict weak #1): the top-k vector stage runs as device
@@ -698,11 +730,23 @@ def streaming_pod(
         from pods_digital_filter_tpu.ops import lanczos
 
         k = max(1, min(max(nvec, num_modes_trunc), ns))
-        pool = ThreadPoolExecutor(1)
         spec_fut = None
+        pool = None
         e_k = v_k = None
         C_sym = None
         if C_dev is not None:
+            # Float64 path (CPU tests and any f64-capable device): ONE
+            # complete block-Lanczos band reduction yields the FULL
+            # spectrum and the top-k vectors together — the whole eigen
+            # half becomes synchronous: no worker thread, no deferred
+            # spectrum, no optimistic shrink-redo.  In float32 the block
+            # path is NOT used: its MGS orthonormalization leaves
+            # ~1.5e-3 relative spectrum error (vs the scalar recurrence's
+            # ~1e-7), and the TPU backend kernel-faults executing the
+            # block scan at the flagship size (both measured round 5) —
+            # the f32 path uses the scalar recurrence with the deferred
+            # overlapped spectrum below.
+            e_full = v_blk = None
             with stage("streaming_eigh_vectors"):
                 with stage("eigh_vectors_symmetrize"):
                     C_sym = symmetrize_gram_device(C_dev, ns)
@@ -710,10 +754,52 @@ def streaming_pod(
                         hard_sync as _hs
                     _hs(C_sym)
                 C_dev = None     # free the raw accumulator
+                if np.dtype(C_sym.dtype) == np.float64:
+                    with stage("eigh_vectors_lanczos"):
+                        e_full, v_blk = lanczos.spectrum_and_topk(C_sym, k)
+            if e_full is not None:
+                C_sym = None
+                # reference spectrum semantics (sort_eigenvalues NaN
+                # handling + valid-mode count, PODFS.py:1430-1447,
+                # 1312-1318) applied NOW — nothing left to resolve
+                energy = np.sort(np.where(np.isfinite(e_full), e_full,
+                                          -1.0e10))[::-1]
+                num_valid = pod_ops.count_valid_modes(energy, tol_cn)
+                num_trunc = num_modes_trunc
+                if num_trunc < 0 or num_trunc > num_valid:
+                    num_trunc = num_valid
+                num_trunc = min(num_trunc, k)
+                with stage("streaming_projection"):
+                    temporal = v_blk.copy()
+                    mag = np.einsum("ij,ij->j", temporal, temporal) / ns
+                    e_lead = energy[:k]
+                    scale = np.where(mag > 0, np.sqrt(
+                        np.maximum(e_lead, 0.0)
+                        / np.where(mag > 0, mag, 1.0)), 1.0)
+                    temporal *= scale[None, :]
+                    phi = project(temporal, e_lead, num_trunc)
+                    phi = np.asarray(phi)
+                pr = pod_ops.PODResult(
+                    energy=energy, temporal_modes=temporal,
+                    spatial_modes=phi,
+                    num_valid=num_valid, num_trunc=num_trunc,
+                )
+                return StreamingPODResult(
+                    mean_field=np.asarray(m, dtype=np.float64), pod=pr,
+                    num_blocks=nb, block=block,
+                )
+            # float32, or block gates tripped: scalar device Lanczos for
+            # the vectors, device/host spectrum deferred as before
+            with stage("streaming_eigh_vectors"):
                 with stage("eigh_vectors_lanczos"):
                     e_k, v_k = lanczos.topk_or_none(C_sym, k)
             if e_k is None:
-                C_sym = None     # Lanczos gate tripped: free + host path
+                # Lanczos gate tripped: materialize the host Gram from
+                # the symmetrized accumulator if the pass skipped it
+                # (values equal the host assembly up to the f32 divide)
+                if C is None:
+                    C = np.asarray(C_sym, dtype=np.float64)
+                C_sym = None     # free before the host path
         if e_k is None:
             # host fallback: Gram rows came from the checkpoint store (no
             # device accumulator) or the Lanczos residual gate tripped.
@@ -721,6 +807,7 @@ def streaming_pod(
             # same 2 host cores and must not compete.
             with stage("streaming_eigh_vectors"):
                 e_k, v_k = pod_ops.eigh_desc_topk(C, k)
+            pool = ThreadPoolExecutor(1)
             spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
         with stage("streaming_projection"):
             # reference temporal-mode scaling (PODFS.py:1322-1325) on
@@ -747,10 +834,15 @@ def streaming_pod(
             # compresses/exports (and replay-verifies, under
             # defer_spectrum/defer_finalize); falls back to host eigvalsh
             # inside the worker if the device run returns non-finite
-            def _device_spectrum(C_sym=C_sym):
+            def _device_spectrum(C_sym=C_sym, C=C):
                 e = lanczos.full_spectrum(C_sym)
-                return pod_ops.eig_spectrum_desc(C) if e is None else e
+                if e is not None:
+                    return e
+                if C is None:
+                    C = np.asarray(C_sym, dtype=np.float64)
+                return pod_ops.eig_spectrum_desc(C)
 
+            pool = ThreadPoolExecutor(1)
             spec_fut = pool.submit(_device_spectrum)
             C_sym = None         # the worker holds the last reference
         # optimistic result: the caller may run Fourier/export against the

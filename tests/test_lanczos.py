@@ -137,3 +137,33 @@ def test_full_spectrum_rank_deficient(rng):
     e = lanczos.full_spectrum(jnp.asarray(C))
     np.testing.assert_allclose(e[:r], e_ref[:r], rtol=1e-8)
     np.testing.assert_allclose(e[r:], 0.0, atol=1e-7 * e_ref[0])
+
+
+def test_streamed_gram_keep_host_false(tmp_path):
+    """keep_host=False skips the host assembly (C is None) but the device
+    accumulator still symmetrizes to the exact host Gram values."""
+    from pods_digital_filter_tpu import streaming
+    from pods_digital_filter_tpu.config import (
+        FilterConfig, PipelineConfig, PlaneConfig, PODFSConfig)
+    from pods_digital_filter_tpu.pipeline import resolve_profile
+
+    cfg = PipelineConfig(
+        plane=PlaneConfig(jma=9, kma=10, res=0.1),
+        filt=FilterConfig(length_scale_x=2.0, length_scale_y=2.0,
+                          length_scale_z=2.0, fwidth=2.0),
+        podfs=PODFSConfig(num_modes=5, energy_target=0.9),
+        nsteps=14, outdir=str(tmp_path), dtype="float64")
+    fields, dt, filt, cfg2, rotate = resolve_profile(cfg)
+    gen_c = streaming.make_centered_generator(
+        cfg2, fields, filt, 5, 14, rotate,
+        jnp.zeros(3 * 9 * 10, dtype=jnp.float64))
+    C_ref, _ = streaming.streamed_gram(gen_c, 14, 5,
+                                       streaming._pair_products,
+                                       group=2, return_device=True)
+    C_none, C_dev = streaming.streamed_gram(gen_c, 14, 5,
+                                            streaming._pair_products,
+                                            group=2, return_device=True,
+                                            keep_host=False)
+    assert C_none is None and C_dev is not None
+    C_sym = np.asarray(streaming.symmetrize_gram_device(C_dev, 14))
+    np.testing.assert_allclose(C_sym, C_ref, rtol=1e-13, atol=1e-15)

@@ -310,17 +310,29 @@ def test_flagship_default_gram_config_fits_budget():
 
 
 def test_run_pipeline_defer_finalize(tmp_path):
-    """run_pipeline(defer_finalize=True): returns with the model files
-    written but the eigenvalue file pending; finalize() joins the spectrum
-    thread and completes the export identically to the eager path."""
+    """run_pipeline(defer_finalize=True).
+
+    On the synchronous device eigen path (block Lanczos succeeded) there
+    is nothing to defer: the eigenvalue file exists immediately and
+    finalize() is a no-op.  The DEFERRED machinery engages on the
+    checkpoint-resume path (Gram rows from the store, host eigensolvers
+    + worker-thread spectrum): the model files are written but the
+    eigenvalue file is pending until finalize()."""
     import os
 
     cfg_e = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "eager"),
                  streaming_block=4, eig_mode="topk")
-    cfg_d = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "defer"),
-                 streaming_block=4, eig_mode="topk")
     re_ = run_pipeline(cfg_e)
-    rd = run_pipeline(cfg_d, defer_finalize=True)
+    assert not re_.finalize_pending
+    assert os.path.exists(os.path.join(cfg_e.outdir, "POD.eigenvalues.dat"))
+
+    ck = str(tmp_path / "ck")
+    cfg_w = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "warm"),
+                 streaming_block=4, eig_mode="topk", checkpoint_dir=ck)
+    run_pipeline(cfg_w)                 # populates the Gram store
+    cfg_d = _cfg(tmp_path, nsteps=12, outdir=str(tmp_path / "defer"),
+                 streaming_block=4, eig_mode="topk", checkpoint_dir=ck)
+    rd = run_pipeline(cfg_d, defer_finalize=True)   # resume: host path
     assert rd.finalize_pending
     assert os.path.exists(os.path.join(cfg_d.outdir, "PODFS.dat"))
     assert not os.path.exists(os.path.join(cfg_d.outdir,
@@ -332,9 +344,19 @@ def test_run_pipeline_defer_finalize(tmp_path):
     assert rd.pod.num_valid == re_.pod.num_valid
     np.testing.assert_allclose(rd.pod.energy, re_.pod.energy,
                                rtol=1e-12, atol=1e-16)
-    ev_e = open(os.path.join(cfg_e.outdir, "POD.eigenvalues.dat")).read()
-    ev_d = open(os.path.join(cfg_d.outdir, "POD.eigenvalues.dat")).read()
-    assert ev_e == ev_d
+    # the two paths use different (equally valid) eigensolvers — block
+    # band reduction vs host eigvalsh — whose noise-floor tail (~1e-18
+    # on a rank-deficient 12x12 Gram) rounds differently; compare the
+    # files numerically at the data's precision rather than byte-wise
+    ev_e = np.genfromtxt(os.path.join(cfg_e.outdir, "POD.eigenvalues.dat"))
+    ev_d = np.genfromtxt(os.path.join(cfg_d.outdir, "POD.eigenvalues.dat"))
+    assert ev_e.shape == ev_d.shape
+    sig = ev_e[:, 1] > 1e-10 * ev_e[:, 1].max()   # rows above noise floor
+    np.testing.assert_allclose(ev_d[sig], ev_e[sig], rtol=1e-9)
+    # noise rows: energies agree in absolute terms (derived ratio columns
+    # like the condition number are meaningless there)
+    np.testing.assert_allclose(ev_d[~sig, 1], ev_e[~sig, 1],
+                               atol=1e-12 * ev_e[:, 1].max())
 
 
 def test_shrink_redo_removes_stale_mode_files(tmp_path):
