@@ -36,8 +36,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _lanczos_scan(Csym, q0, key, m: int):
+def _as_global(x_host, ref):
+    """Upload a small host value so it can enter a jitted computation
+    together with ``ref``.
+
+    Under ``jax.distributed`` a jit may not mix process-local arrays with
+    global operands ('incompatible devices'), and ``device_put`` cannot
+    target a non-addressable sharding — so when ``ref`` spans processes
+    the value is placed as a REPLICATED global array via the same
+    callback construction as ``parallel.mesh.put_global`` (every process
+    holds the identical deterministic value).  Plain upload otherwise.
+    All PRNG state and start vectors are instead generated INSIDE the
+    jitted scans from a static seed, which needs no placement at all."""
+    sh = getattr(ref, "sharding", None)
+    if (isinstance(sh, jax.sharding.NamedSharding)
+            and not getattr(ref, "is_fully_addressable", True)):
+        from pods_digital_filter_tpu.parallel.mesh import put_global
+
+        repl = jax.sharding.NamedSharding(sh.mesh,
+                                          jax.sharding.PartitionSpec())
+        return put_global(np.asarray(x_host), repl)
+    return jnp.asarray(x_host)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "seed"))
+def _lanczos_scan(Csym, m: int, seed: int = 0):
     """``m`` Lanczos steps on the symmetric device matrix ``Csym``.
 
     Returns ``(Q (m, n), alphas (m,), betas (m,))`` with ``betas[j]`` the
@@ -56,6 +79,12 @@ def _lanczos_scan(Csym, q0, key, m: int):
     n = Csym.shape[0]
     dt = Csym.dtype
     tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny ** 0.5, dt)
+    # PRNG state and the start vector are built IN-GRAPH from the static
+    # seed: nothing but Csym enters the jit, so the program is valid for
+    # single-device AND multi-process global operands alike
+    key = jax.random.key(seed)
+    q0 = jax.random.normal(key, (n,), dt)
+    q0 = q0 / jnp.linalg.norm(q0)
 
     def reorth(Q, w):
         w = w - Q.T @ (Q @ w)
@@ -110,13 +139,14 @@ def lanczos_topk(C_sym, k: int, m: int | None = None, seed: int = 0):
     k = max(1, min(int(k), n))
     if m is None:
         m = max(4 * k + 32, 512)
-    m = min(int(m), n)
-    key = jax.random.key(seed)
-    q0 = jax.random.normal(key, (n,), C_sym.dtype)
-    q0 = q0 / jnp.linalg.norm(q0)
-    Q, alphas, betas = _lanczos_scan(C_sym, q0, key, m)
-    a = np.asarray(alphas, dtype=np.float64)
-    b = np.asarray(betas, dtype=np.float64)
+    # never below k: an m-step recurrence yields only m Ritz pairs, and a
+    # silent short return would break PODResult's column invariants
+    m = min(max(int(m), k), n)
+    from pods_digital_filter_tpu.parallel.mesh import to_host
+
+    Q, alphas, betas = _lanczos_scan(C_sym, m, seed)
+    a = to_host(alphas)
+    b = to_host(betas)
     if not (np.isfinite(a).all() and np.isfinite(b).all()):
         return None, None, np.inf
     from scipy.linalg import eigh_tridiagonal
@@ -127,9 +157,7 @@ def lanczos_topk(C_sym, k: int, m: int | None = None, seed: int = 0):
     # Ritz residual ||C v - theta v|| = |beta_m| * |last row of Y|
     denom = np.maximum(np.abs(theta), np.finfo(np.float64).tiny)
     rel_res = float(np.max(np.abs(b[-1] * Y[-1, :]) / denom))
-    V = _ritz_vectors(Q, jnp.asarray(Y, C_sym.dtype))
-    from pods_digital_filter_tpu.parallel.mesh import to_host
-
+    V = _ritz_vectors(Q, _as_global(np.asarray(Y, C_sym.dtype), C_sym))
     return theta, to_host(V), rel_res
 
 
@@ -152,13 +180,12 @@ def full_spectrum(C_sym, seed: int = 0) -> np.ndarray:
     float64 (CPU tests) it matches ``eigvalsh`` to ~1e-12.  Returns None
     if anything came out non-finite (caller falls back to the host
     solver)."""
+    from pods_digital_filter_tpu.parallel.mesh import to_host
+
     n = C_sym.shape[0]
-    key = jax.random.key(seed)
-    q0 = jax.random.normal(key, (n,), C_sym.dtype)
-    q0 = q0 / jnp.linalg.norm(q0)
-    _, alphas, betas = _lanczos_scan(C_sym, q0, key, n)
-    a = np.asarray(alphas, dtype=np.float64)
-    b = np.asarray(betas, dtype=np.float64)
+    _, alphas, betas = _lanczos_scan(C_sym, n, seed)
+    a = to_host(alphas)
+    b = to_host(betas)
     if not (np.isfinite(a).all() and np.isfinite(b).all()):
         return None
     if n == 1:
@@ -169,8 +196,8 @@ def full_spectrum(C_sym, seed: int = 0) -> np.ndarray:
     return theta[::-1].copy()
 
 
-@functools.partial(jax.jit, static_argnames=("b", "steps"))
-def _block_lanczos_scan(Csym, W0, key, b: int, steps: int):
+@functools.partial(jax.jit, static_argnames=("b", "steps", "seed"))
+def _block_lanczos_scan(Csym, b: int, steps: int, seed: int = 0):
     """``steps`` block-Lanczos steps with block size ``b`` — a COMPLETE
     orthogonal band reduction when ``steps * b == n``.
 
@@ -236,6 +263,11 @@ def _block_lanczos_scan(Csym, W0, key, b: int, steps: int):
         E = U @ W_next.T                        # T[block i+1, block i]
         return (Q, W_next), (A, E)
 
+    # start block: random rows orthonormalized in-graph (empty basis)
+    key = jax.random.key(seed)
+    R0 = jax.random.normal(jax.random.fold_in(key, steps + 1), (b, n), dt)
+    W0 = orthonormal_rows(R0, jnp.zeros((1, n), dt),
+                          jax.random.fold_in(key, steps + 2))
     Q0 = jnp.zeros((steps * b, n), dt)
     (Q, _), (A, E) = jax.lax.scan(
         body, (Q0, W0), jnp.arange(steps, dtype=jnp.int32))
@@ -305,30 +337,27 @@ def spectrum_and_topk(C_sym, k: int, seed: int = 0,
     eps = float(np.finfo(np.dtype(C_sym.dtype)).eps)
     if rel_tol is None:
         rel_tol = max(1.0e-8, 500.0 * eps)
-    key = jax.random.key(seed)
-    W0 = jax.random.normal(key, (b, n), C_sym.dtype)
-    # orthonormal start block (host QR of b x n is trivial)
-    W0 = jnp.asarray(np.linalg.qr(np.asarray(W0).T)[0].T, C_sym.dtype)
-    Q, A, E = _block_lanczos_scan(C_sym, W0, key, b, steps)
-    A_h = np.asarray(A, dtype=np.float64)
-    E_h = np.asarray(E, dtype=np.float64)
+    Q, A, E = _block_lanczos_scan(C_sym, b, steps, seed)
+    A_h = to_host(A)
+    E_h = to_host(E)
     if not (np.isfinite(A_h).all() and np.isfinite(E_h).all()):
         return None, None
     ab = _band_from_blocks(A_h, E_h, b)
     w = eig_banded(ab, lower=False, eigvals_only=True)
     # trace identity: the band reduction is orthogonal, so the spectrum
     # must preserve the trace to rounding
-    tr = float(np.asarray(jnp.trace(C_sym)))
+    tr = float(to_host(jnp.trace(C_sym)))
     scale = max(abs(tr), float(np.max(np.abs(w))) * n ** 0.5, 1e-300)
     if abs(w.sum() - tr) > 50.0 * rel_tol * scale:
         return None, None
     wk, yk = eig_banded(ab, lower=False, select="i",
                         select_range=(n - k, n - 1))
-    V = _ritz_vectors(Q, jnp.asarray(yk, C_sym.dtype))   # (n, k)
+    V = _ritz_vectors(Q, _as_global(
+        np.asarray(yk, np.dtype(C_sym.dtype)), C_sym))       # (n, k)
     # Ritz residual gate on the returned vectors
-    lam = jnp.asarray(wk, C_sym.dtype)
+    lam = _as_global(np.asarray(wk, np.dtype(C_sym.dtype)), C_sym)
     Rres = C_sym @ V - V * lam[None, :]
-    res = np.asarray(jnp.linalg.norm(Rres, axis=0), dtype=np.float64)
+    res = to_host(jnp.linalg.norm(Rres, axis=0))
     lam0 = max(float(np.max(np.abs(w))), 1e-300)
     if np.max(res) > rel_tol * lam0 * 50.0:
         return None, None

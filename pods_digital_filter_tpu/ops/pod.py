@@ -208,6 +208,35 @@ def resolve_num_vectors(cfg, ns: int, num_modes_trunc: int) -> int | None:
             if ns >= 4096 and not getattr(cfg, "verbose", False) else None)
 
 
+def finalize_spectrum(e_full: np.ndarray, tol_cn: float,
+                      num_modes_trunc: int):
+    """Reference spectrum semantics applied to a raw eigenvalue array:
+    NaN -> -1e10 + descending sort (``sort_eigenvalues``,
+    PODFS.py:1430-1447), condition-number valid count (PODFS.py:1312-1318)
+    and the truncation clamp.  Shared by every two-phase eigen path
+    (serial + sharded, synchronous + deferred resolve).  Returns
+    ``(energy_desc, num_valid, num_trunc)``."""
+    energy = np.sort(np.where(np.isfinite(e_full), e_full, -1.0e10))[::-1]
+    num_valid = count_valid_modes(energy, tol_cn)
+    num_trunc = num_modes_trunc
+    if num_trunc < 0 or num_trunc > num_valid:
+        num_trunc = num_valid
+    return energy, num_valid, num_trunc
+
+
+def scale_temporal_leading(vecs: np.ndarray, energy_lead: np.ndarray,
+                           ns: int) -> np.ndarray:
+    """Reference temporal-mode scaling (PODFS.py:1322-1325) applied to a
+    truncated (Ns, k) eigenvector block: each column scaled so its mean
+    square equals its eigenvalue.  Returns a scaled COPY."""
+    temporal = vecs.copy()
+    mag = np.einsum("ij,ij->j", temporal, temporal) / ns
+    scale = np.where(mag > 0, np.sqrt(
+        np.maximum(energy_lead, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
+    temporal *= scale[None, :]
+    return temporal
+
+
 def temporal_from_gram(C, ns: int, num_modes_trunc: int, tol_cn: float,
                        num_vectors: int | None = None):
     """The eigen half of snapshot POD: Gram matrix -> sorted eigenvalues,

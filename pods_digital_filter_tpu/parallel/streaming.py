@@ -309,21 +309,13 @@ def streaming_pod_sharded(
                     e_full, v_blk = lanczos.spectrum_and_topk(C_sym, k)
             if e_full is not None:
                 C_sym = None
-                energy = np.sort(np.where(np.isfinite(e_full), e_full,
-                                          -1.0e10))[::-1]
-                num_valid = pod_ops.count_valid_modes(energy, tol_cn)
-                num_trunc = num_modes_trunc
-                if num_trunc < 0 or num_trunc > num_valid:
-                    num_trunc = num_valid
+                energy, num_valid, num_trunc = pod_ops.finalize_spectrum(
+                    e_full, tol_cn, num_modes_trunc)
                 num_trunc = min(num_trunc, k)
                 with stage("streaming_projection"):
-                    temporal = v_blk.copy()
-                    mag = np.einsum("ij,ij->j", temporal, temporal) / ns
                     e_lead = energy[:k]
-                    scale = np.where(mag > 0, np.sqrt(
-                        np.maximum(e_lead, 0.0)
-                        / np.where(mag > 0, mag, 1.0)), 1.0)
-                    temporal *= scale[None, :]
+                    temporal = pod_ops.scale_temporal_leading(v_blk,
+                                                              e_lead, ns)
                     phi = project(temporal, e_lead, num_trunc)
                     phi_packed = pack(phi)
                 pr = pod_ops.PODResult(
@@ -348,13 +340,8 @@ def streaming_pod_sharded(
             pool = ThreadPoolExecutor(1)
             spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
         with stage("streaming_projection"):
-            # reference temporal-mode scaling (PODFS.py:1322-1325) on the
-            # k leading columns
-            temporal = v_k.copy()
-            mag = np.einsum("ij,ij->j", temporal, temporal) / ns
-            scale = np.where(mag > 0, np.sqrt(
-                np.maximum(e_k, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
-            temporal *= scale[None, :]
+            # reference temporal-mode scaling on the k leading columns
+            temporal = pod_ops.scale_temporal_leading(v_k, e_k, ns)
             phi = project(temporal, e_k, k)
             # land the packed modes BEFORE the device spectrum dispatch
             # (a pending gather would otherwise queue behind the scan —

@@ -478,21 +478,30 @@ def _run_pipeline_sharded_streaming(cfg, fields, dt, filt, rotate, geom,
 
 
 def _unlink_stale_mode_files(outdir: str, keep: int):
-    """Delete ``PODFS_mode_%04i.prf`` files with index > ``keep``.
+    """Delete per-mode artifacts with index > ``keep``.
 
     On the deferred-spectrum shrink-redo path the optimistic export wrote
     mode files beyond the final truncation (their columns were scaled by
     near-zero invalid eigenvalues — garbage a downstream solver globbing
     ``PODFS_mode_*.prf`` would load); the re-export writes fewer files, so
     the orphans must be removed for the directory to equal a full-eig
-    run's (round-4 verdict weak #5 / ADVICE)."""
+    run's (round-4 verdict weak #5 / ADVICE).  The verbose-only temporal
+    .dat / spatial .vtk per-mode files are swept too — config validation
+    currently keeps verbose off the deferred path (topk+verbose is
+    rejected, auto+verbose resolves to full-eig), so this is
+    defense-in-depth for direct _export_model callers."""
     import glob
     import re
 
-    for path in glob.glob(os.path.join(outdir, "PODFS_mode_*.prf")):
-        m = re.search(r"PODFS_mode_(\d+)\.prf$", path)
-        if m and int(m.group(1)) > keep:
-            os.unlink(path)
+    for pattern, rx in (
+        ("PODFS_mode_*.prf", r"PODFS_mode_(\d+)\.prf$"),
+        ("POD.temporal_mode_*.dat", r"POD\.temporal_mode_(\d+)\.dat$"),
+        ("POD.spatial_mode_*.vtk", r"_(\d+)\.vtk$"),
+    ):
+        for path in glob.glob(os.path.join(outdir, pattern)):
+            m = re.search(rx, path)
+            if m and int(m.group(1)) > keep:
+                os.unlink(path)
 
 
 def _make_spectrum_finalizer(cfg, sp, result, geom, dt, timer, write):

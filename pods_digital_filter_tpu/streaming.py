@@ -83,12 +83,8 @@ class StreamingPODResult:
         energy = spec_fut.result()
         pool.shutdown(wait=False)
         self._pending = None
-        nan_mask = ~np.isfinite(energy)
-        energy = np.sort(np.where(nan_mask, -1.0e10, energy))[::-1]
-        num_valid = pod_ops.count_valid_modes(energy, tol_cn)
-        num_trunc = num_modes_trunc
-        if num_trunc < 0 or num_trunc > num_valid:
-            num_trunc = num_valid
+        energy, num_valid, num_trunc = pod_ops.finalize_spectrum(
+            energy, tol_cn, num_modes_trunc)
         self.pod.energy = energy
         self.pod.num_valid = num_valid
         shrank = num_trunc < self.pod.num_trunc
@@ -415,6 +411,12 @@ def streamed_gram(gen, ns: int, block: int, pair_fn, store=None,
                 except Exception:
                     pass      # backend without async copy: drain() syncs
                 pending_dl.append((sl, run, widths, t_lo))
+            elif verbose:
+                # no host download on this path — report row progress at
+                # the sweep boundary instead of at drain time
+                for bi in run:
+                    print(f"streaming POD: gram row {bi + 1}/{nb} "
+                          "(device-resident)")
             # drop every reference to this strip's panel BEFORE the next
             # strip generates its own: the `blocks` tuple alone keeps the
             # full 7-9 GiB panel alive, and two panels coexisting is an
@@ -759,24 +761,15 @@ def streaming_pod(
                         e_full, v_blk = lanczos.spectrum_and_topk(C_sym, k)
             if e_full is not None:
                 C_sym = None
-                # reference spectrum semantics (sort_eigenvalues NaN
-                # handling + valid-mode count, PODFS.py:1430-1447,
-                # 1312-1318) applied NOW — nothing left to resolve
-                energy = np.sort(np.where(np.isfinite(e_full), e_full,
-                                          -1.0e10))[::-1]
-                num_valid = pod_ops.count_valid_modes(energy, tol_cn)
-                num_trunc = num_modes_trunc
-                if num_trunc < 0 or num_trunc > num_valid:
-                    num_trunc = num_valid
+                # reference spectrum semantics applied NOW — nothing left
+                # to resolve
+                energy, num_valid, num_trunc = pod_ops.finalize_spectrum(
+                    e_full, tol_cn, num_modes_trunc)
                 num_trunc = min(num_trunc, k)
                 with stage("streaming_projection"):
-                    temporal = v_blk.copy()
-                    mag = np.einsum("ij,ij->j", temporal, temporal) / ns
                     e_lead = energy[:k]
-                    scale = np.where(mag > 0, np.sqrt(
-                        np.maximum(e_lead, 0.0)
-                        / np.where(mag > 0, mag, 1.0)), 1.0)
-                    temporal *= scale[None, :]
+                    temporal = pod_ops.scale_temporal_leading(v_blk,
+                                                              e_lead, ns)
                     phi = project(temporal, e_lead, num_trunc)
                     phi = np.asarray(phi)
                 pr = pod_ops.PODResult(
@@ -810,14 +803,9 @@ def streaming_pod(
             pool = ThreadPoolExecutor(1)
             spec_fut = pool.submit(pod_ops.eig_spectrum_desc, C)
         with stage("streaming_projection"):
-            # reference temporal-mode scaling (PODFS.py:1322-1325) on
-            # the k Lanczos columns (eigenvalues agree with the
-            # spectrum to machine precision — tests/test_pod.py)
-            temporal = v_k.copy()
-            mag = np.einsum("ij,ij->j", temporal, temporal) / ns
-            scale = np.where(mag > 0, np.sqrt(
-                np.maximum(e_k, 0.0) / np.where(mag > 0, mag, 1.0)), 1.0)
-            temporal *= scale[None, :]
+            # reference temporal-mode scaling on the k Lanczos columns
+            # (eigenvalues agree with the spectrum to machine precision)
+            temporal = pod_ops.scale_temporal_leading(v_k, e_k, ns)
             phi = project(temporal, e_k, k)
             try:
                 phi.copy_to_host_async()

@@ -186,3 +186,29 @@ def test_multiprocess_halo_seam_correlation(tmp_path):
                     / np.sqrt(np.sum(a * a) * np.sum(c * c)))
         # 512 samples per seam -> estimator sigma ~ 0.05
         assert abs(got - want) < 0.15, (seam, got, want)
+
+
+@pytest.mark.multiprocess
+def test_multiprocess_sharded_streaming_topk(tmp_path):
+    """2-process sharded + out-of-core run with --eig_mode topk: the
+    device eigen half (block-Lanczos spectrum+vectors in f64) runs on the
+    GLOBAL mesh-sharded Gram accumulator — its start block and PRNG key
+    must be placed as replicated global arrays (a process-local input
+    mixed with global operands is rejected under jax.distributed; round-5
+    review finding).  Model parity against the serial run."""
+    out_mp = str(tmp_path / "mp")
+    _launch(COMMON + ["--shard_time", "2", "--shard_space", "2",
+                      "--streaming_block", "4", "--eig_mode", "topk"],
+            out_mp)
+
+    run_pipeline(_serial_cfg(str(tmp_path / "serial")))
+
+    m_s = replay.load_prf(str(tmp_path / "serial"))
+    m_p = replay.load_prf(out_mp)
+    assert m_p.num_modes == m_s.num_modes
+    np.testing.assert_allclose(m_p.mean, m_s.mean, atol=1e-11)
+    rp_s, rp_p = replay.Replayer(m_s), replay.Replayer(m_p)
+    ts = np.linspace(0.0, m_s.period, 5)
+    np.testing.assert_allclose(rp_p.batch(ts), rp_s.batch(ts), atol=1e-7)
+    ev = os.path.join(out_mp, "POD.eigenvalues.dat")
+    assert os.path.exists(ev)
